@@ -1,0 +1,255 @@
+"""End-to-end iterative assembly pipeline (mia main, src/mia_main.c:394-989).
+
+Pass 1 aligns every read fw+rc against the (wrapped) reference, then the
+engine iterates: consensus -> realign -> filter -> cull -> write maln, until
+the consensus string repeats or MAX_ITER is hit.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from ..config import MiaConfig
+from ..constants import INIT_ALN_SEQ_LEN, MAX_ITER, PSSM_DEPTH
+from ..io.fasta import iter_frag_seqs, read_fasta_ref
+from ..io.ids import parse_ids
+from ..io.maln import write_ma
+from ..io.pssm_io import find_read_pssm
+from ..ops.pssm import init_flatsubmat, revcom_submat
+from .columns import consensus_assembly_string, sort_aln_frags
+from .driver import (
+    init_alignment,
+    reiterate_assembly,
+    set_hp_cols,
+    set_hp_rows,
+    set_seq1,
+    set_seq2,
+    sg_align,
+    trim_frag,
+)
+from ..ops.kmer import KmerPosArray, new_kmer_filter
+from .fsdb import (
+    FSDB,
+    clean_FSDB,
+    collapse_FSDB,
+    cull_maln_from_fsdb,
+    pop_smp_from_FSDB,
+    set_uniq_in_fsdb,
+    sort_fsdb,
+    sort_fsdb_qscore,
+    write_fastq,
+)
+from .merge import add_ref_wrap
+from .types import MapAlignment
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr)
+
+
+def run_assembly(cfg: MiaConfig) -> MapAlignment:
+    """Run the full mia pipeline; returns the final culled MapAlignment."""
+    if cfg.submat_fn:
+        ancsubmat = find_read_pssm(cfg.submat_fn)
+    else:
+        ancsubmat = init_flatsubmat()
+    rcancsubmat = revcom_submat(ancsubmat)
+    flatsubmat = init_flatsubmat()
+
+    maln = MapAlignment()
+    maln.cons_code = cfg.cons_code
+    maln.distant_ref = cfg.distant_ref
+
+    fsdb = FSDB()
+
+    maln.ref = read_fasta_ref(cfg.ref_fn)
+    if cfg.circular:
+        add_ref_wrap(maln.ref)
+    else:
+        maln.ref.wrap_seq_len = maln.ref.seq_len
+    maln.ref.gaps = np.zeros(maln.ref.wrap_seq_len + 1, dtype=np.int64)
+
+    fkpa = rkpa = None
+    if cfg.kmer_filt_len > 0:
+        _log("Making kmer list for k-mer filtering...")
+        fkpa = KmerPosArray(
+            maln.ref.seq[: maln.ref.wrap_seq_len], cfg.kmer_filt_len, cfg.soft_mask
+        )
+        rkpa = KmerPosArray(
+            maln.ref.rcseq[: maln.ref.wrap_seq_len], cfg.kmer_filt_len, cfg.soft_mask
+        )
+
+    # k-mer tables built; uppercase the reference from here on
+    maln.ref.seq = (
+        maln.ref.seq[: maln.ref.wrap_seq_len].upper()
+        + maln.ref.seq[maln.ref.wrap_seq_len :]
+    )
+    maln.ref.rcseq = (
+        maln.ref.rcseq[: maln.ref.wrap_seq_len].upper()
+        + maln.ref.rcseq[maln.ref.wrap_seq_len :]
+    )
+
+    size2 = maln.ref.wrap_seq_len + 2 * INIT_ALN_SEQ_LEN
+    fw_align = init_alignment(INIT_ALN_SEQ_LEN, size2, rc=False, hp_special=cfg.hp_special)
+    rc_align = init_alignment(INIT_ALN_SEQ_LEN, size2, rc=True, hp_special=cfg.hp_special)
+
+    adapt_align = None
+    if cfg.do_adapter_trimming:
+        adapt_align = init_alignment(
+            INIT_ALN_SEQ_LEN, INIT_ALN_SEQ_LEN, rc=False, hp_special=cfg.hp_special
+        )
+        adapt_align.submat = flatsubmat
+        set_seq2(adapt_align, cfg.adapter)
+        if cfg.hp_special:
+            set_hp_rows(adapt_align)
+        adapt_align.sg5 = True
+        adapt_align.sg3 = False
+
+    ref_len1 = maln.ref.wrap_seq_len if cfg.circular else maln.ref.seq_len
+    set_seq1(fw_align, maln.ref.seq, ref_len1)
+    set_seq1(rc_align, maln.ref.rcseq, ref_len1)
+    if cfg.hp_special:
+        set_hp_cols(fw_align)
+        set_hp_cols(rc_align)
+
+    good_ids = parse_ids(cfg.ids_file) if cfg.ids_file else None
+
+    _log("Starting to align sequences to the reference...")
+    seen = 0
+    fw_align.submat = ancsubmat
+    rc_align.submat = ancsubmat
+    for frag_seq in iter_frag_seqs(cfg.frag_fn):
+        seen += 1
+        if good_ids is None or frag_seq.id in good_ids:
+            if cfg.do_adapter_trimming:
+                trim_frag(frag_seq, cfg.adapter, adapt_align)
+            else:
+                frag_seq.trimmed = False
+            frag_len = frag_seq.trim_point + 1 if frag_seq.trimmed else frag_seq.seq_len
+            if new_kmer_filter(
+                frag_seq.seq,
+                frag_len,
+                fkpa,
+                rkpa,
+                cfg.kmer_filt_len,
+                fw_align.align_mask,
+                rc_align.align_mask,
+                fw_align.len1,
+                rc_align.len1,
+            ):
+                sg_align(maln, frag_seq, fsdb, fw_align, rc_align)
+        if seen % 1000 == 0:
+            sys.stderr.write(".")
+        if seen % 80000 == 0:
+            sys.stderr.write("\n")
+
+    pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
+    sys.stderr.write("\n")
+    iter_num = 1
+
+    # culled maln: shares the ref, sized to the current alignment count
+    # (init_culled_map_alignment, src/mia.c:41-58)
+    culled = MapAlignment()
+    culled.ref = maln.ref
+    culled.cons_code = maln.cons_code
+    culled.distant_ref = maln.distant_ref
+    culled.size = maln.num_aln_seqs
+
+    _log("Repeat and score filtering")
+    if cfg.repeat_filt:
+        sort_fsdb(fsdb)
+        set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
+    if cfg.repeat_qual_filt:
+        sort_fsdb_qscore(fsdb)
+        set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
+
+    cull_maln_from_fsdb(
+        culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
+    )
+    culled.fpsm = ancsubmat
+    culled.rpsm = rcancsubmat
+    sort_aln_frags(culled)
+
+    fw_align.submat = ancsubmat
+    fw_align.sg5 = True
+    fw_align.sg3 = True
+
+    last_assembly_cons = maln.ref.seq[: maln.ref.seq_len]
+
+    fw_align.align_mask[: fw_align.len1] = 1
+    clean_FSDB(fsdb)
+    if cfg.collapse:
+        collapse_FSDB(fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept)
+
+    reiterate_assembly(
+        last_assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat, rcancsubmat
+    )
+    pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
+    _log("Repeat and score filtering")
+    if cfg.repeat_filt:
+        sort_fsdb(fsdb)
+        set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
+    if cfg.repeat_qual_filt:
+        sort_fsdb_qscore(fsdb)
+        set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
+    cull_maln_from_fsdb(
+        culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
+    )
+    culled.fpsm = ancsubmat
+    culled.rpsm = rcancsubmat
+    sort_aln_frags(culled)
+    maln_fn = f"{cfg.maln_root}.{iter_num}"
+    if not cfg.iterate or not cfg.final_only:
+        write_ma(maln_fn, culled)
+        if cfg.make_fastq:
+            write_fastq(cfg.fastq_out_fn, fsdb)
+
+    if cfg.iterate:
+        _log("Generating new assembly consensus")
+        assembly_cons = consensus_assembly_string(culled)
+
+        while assembly_cons != last_assembly_cons and iter_num < MAX_ITER:
+            iter_num += 1
+            last_assembly_cons = assembly_cons
+            _log(f"Starting assembly iteration {iter_num}")
+
+            if cfg.collapse:
+                collapse_FSDB(
+                    fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
+                )
+            reiterate_assembly(
+                assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat, rcancsubmat
+            )
+            pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
+            _log("Repeat and score filtering")
+            if cfg.repeat_filt:
+                sort_fsdb(fsdb)
+                set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
+            if cfg.repeat_qual_filt:
+                sort_fsdb_qscore(fsdb)
+                set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
+            cull_maln_from_fsdb(
+                culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
+            )
+            culled.fpsm = ancsubmat
+            culled.rpsm = rcancsubmat
+            sort_aln_frags(culled)
+            maln_fn = f"{cfg.maln_root}.{iter_num}"
+            if not cfg.final_only:
+                _log(f"Writing maln file for iteration {iter_num}")
+                write_ma(maln_fn, culled)
+            assembly_cons = consensus_assembly_string(culled)
+
+        if assembly_cons == last_assembly_cons:
+            _log("Assembly convergence - writing final maln")
+        else:
+            _log(f"Assembly did not converge after {iter_num} rounds, quitting")
+        maln_fn = f"{cfg.maln_root}.{iter_num}"
+        if cfg.final_only:
+            write_ma(maln_fn, culled)
+        if cfg.make_fastq:
+            write_fastq(cfg.fastq_out_fn, fsdb)
+
+    return culled

@@ -1,0 +1,118 @@
+"""Column-wise consensus over a MapAlignment.
+
+Bridges the assembly state to the vectorised consensus ops: one scatter-add
+pass builds every main-column accumulator (vs the reference's O(ref_len *
+num_reads) rescans, src/mia.c:551-599 / src/map_alignment.c:134-183), while
+insertion columns (rare) are handled per gap position exactly like
+find_ins_cons (src/map_align.c:444-510).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops.consensus import ColumnCounts, find_consensus_cols
+from .types import MapAlignment
+
+
+def main_column_counts(maln: MapAlignment, exclude_dropped: bool) -> ColumnCounts:
+    """Accumulate BaseCounts for every reference column in one pass.
+
+    ``exclude_dropped`` mirrors the difference between mia's consensus
+    (skips dropped reads, src/mia.c:580-582) and ma's (does not,
+    src/map_alignment.c:154-168).
+    """
+    n = maln.ref.seq_len
+    cc = ColumnCounts(n)
+    cols_l, chars_l, depths_l, strands_l = [], [], [], []
+    for a in maln.aln_seqs:
+        if exclude_dropped and a.dropped:
+            continue
+        span = a.end - a.start + 1
+        span = min(span, len(a.seq), len(a.smp))
+        if span <= 0:
+            continue
+        cols = a.start + np.arange(span, dtype=np.int64)
+        ok = (cols >= 0) & (cols < n)
+        if not ok.any():
+            continue
+        cols = cols[ok]
+        off = np.flatnonzero(ok)
+        seqb = np.frombuffer(a.seq.encode("latin-1"), dtype=np.uint8)[off]
+        smpb = np.frombuffer(a.smp.encode("latin-1"), dtype=np.uint8)[off]
+        cols_l.append(cols)
+        chars_l.append(seqb)
+        depths_l.append(smpb.astype(np.int64) - ord("A"))
+        strands_l.append(np.full(len(cols), bool(a.revcom)))
+    if cols_l:
+        cc.add_bases(
+            np.concatenate(cols_l),
+            np.concatenate(chars_l),
+            np.concatenate(depths_l),
+            np.concatenate(strands_l),
+            maln.fpsm,
+            maln.rpsm,
+        )
+    return cc
+
+
+def find_ins_cons(maln: MapAlignment, pos: int):
+    """Consensus of the insertion columns immediately upstream of ``pos``
+    (find_ins_cons, src/map_align.c:444-510).  Includes dropped reads, as the
+    reference does.  Returns (chars uint8 [L], ColumnCounts, frac [L])."""
+    L = int(maln.ref.gaps[pos])
+    cc = ColumnCounts(L)
+    cols_l, chars_l, depths_l, strands_l = [], [], [], []
+    for a in maln.aln_seqs:
+        if a.start < pos <= a.end:
+            off = pos - a.start
+            if off >= len(a.smp):
+                continue
+            depth = ord(a.smp[off]) - ord("A")
+            ins = a.ins.get(off)
+            chars = np.full(L, ord("-"), dtype=np.uint8)
+            if ins is not None:
+                k = min(len(ins), L)
+                chars[:k] = np.frombuffer(ins[:k].encode("latin-1"), dtype=np.uint8)
+            cols_l.append(np.arange(L, dtype=np.int64))
+            chars_l.append(chars)
+            depths_l.append(np.full(L, depth, dtype=np.int64))
+            strands_l.append(np.full(L, bool(a.revcom)))
+    if cols_l:
+        cc.add_bases(
+            np.concatenate(cols_l),
+            np.concatenate(chars_l),
+            np.concatenate(depths_l),
+            np.concatenate(strands_l),
+            maln.fpsm,
+            maln.rpsm,
+        )
+    chars, frac = find_consensus_cols(cc, maln.cons_code)
+    return chars, cc, frac
+
+
+def consensus_assembly_string(maln: MapAlignment) -> str:
+    """Next-iteration reference from the culled maln
+    (consensus_assembly_string, src/mia.c:508-603): gap/space calls are
+    dropped; dropped reads are excluded from main columns but not from
+    insertion columns."""
+    cc = main_column_counts(maln, exclude_dropped=True)
+    cons_chars, _ = find_consensus_cols(cc, maln.cons_code)
+    out: list[str] = []
+    gaps = maln.ref.gaps
+    for pos in range(maln.ref.seq_len):
+        if gaps[pos] > 0 and pos > 0:
+            ins_chars, _, _ = find_ins_cons(maln, pos)
+            for ch in ins_chars:
+                if ch not in (ord("-"), ord(" ")):
+                    out.append(chr(ch))
+        c = cons_chars[pos]
+        if c not in (ord("-"), ord(" ")):
+            out.append(chr(c))
+    return "".join(out)
+
+
+def sort_aln_frags(maln: MapAlignment) -> None:
+    """Stable sort by (start, end) (alnSeqCmp, src/map_align.c:393-414)."""
+    seqs = maln.aln_seqs
+    seqs.sort(key=lambda a: (a.start, a.end))
+    maln.set_aln_seqs(seqs)

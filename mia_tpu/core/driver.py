@@ -1,0 +1,293 @@
+"""Per-read alignment driver and the iterative realignment engine.
+
+Ports sg_align (src/map_align.c:1500-1665), trim_frag
+(src/map_align.c:1304-1368) and reiterate_assembly (src/mia_main.c:24-280).
+The DP itself runs through :mod:`mia_tpu.ops.dp_numpy` (exact) or the batched
+JAX path; this module owns the strand choice, coordinate fixups, circular
+splits and maln/FSDB bookkeeping.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import (
+    FIRST_ROUND_SCORE_CUTOFF,
+    FLAT_MATCH,
+    GEP,
+    GOP,
+    INIT_ALN_SEQ_LEN,
+    REALIGN_BUFFER,
+    TRIM_SCORE_CUT,
+)
+from ..ops.dp_numpy import (
+    Alignment,
+    dyn_prog,
+    find_align_begin,
+    max_sg_score,
+    populate_pwaln_to_begin,
+    trim_argmax_last_col,
+)
+from ..utils.encoding import encode_seq, pop_hpl_and_hps, revcom
+from .fsdb import add_virgin_fs2fsdb
+from .merge import add_ref_wrap, c2rcc, merge_pwaln_into_maln, revcom_PWAF, split_pwaln
+from .types import FSDB, FragSeq, MapAlignment, PWAlnFrag
+
+
+def init_alignment(size1: int, size2: int, rc: bool, hp_special: bool) -> Alignment:
+    """Workspace sized like the reference's init_alignment
+    (src/mia.c:988-1030): size1 rows (fragment) x size2 cols (reference)."""
+    a = Alignment()
+    a.hp = hp_special
+    a.rc = rc
+    a.align_mask = np.ones(size2, dtype=np.uint8)
+    a.s1c = np.zeros(size2, dtype=np.int8)
+    a.s2c = np.zeros(size1, dtype=np.int8)
+    return a
+
+
+def set_seq1(a: Alignment, seq: str, length: int | None = None) -> None:
+    a.seq1 = seq
+    a.len1 = len(seq) if length is None else length
+    enc = encode_seq(seq[: a.len1])
+    if len(enc) > len(a.s1c):
+        a.s1c = np.zeros(len(enc) + 16, dtype=np.int8)
+    a.s1c[: a.len1] = enc
+
+
+def set_seq2(a: Alignment, seq: str, length: int | None = None) -> None:
+    a.seq2 = seq
+    a.len2 = len(seq) if length is None else length
+    enc = encode_seq(seq[: a.len2])
+    if len(enc) > len(a.s2c):
+        a.s2c = np.zeros(len(enc) + 16, dtype=np.int8)
+    a.s2c[: a.len2] = enc
+
+
+def set_hp_cols(a: Alignment) -> None:
+    a.hpcl, a.hpcs = pop_hpl_and_hps(a.seq1[: a.len1])
+
+
+def set_hp_rows(a: Alignment) -> None:
+    a.hprl, a.hprs = pop_hpl_and_hps(a.seq2[: a.len2])
+
+
+def trim_frag(frag_seq: FragSeq, adapter: str, align: Alignment) -> None:
+    """Adapter trimming via DP of adapter (rows) vs read (columns); sets
+    trimmed/trim_point (src/map_align.c:1304-1368)."""
+    set_seq1(align, frag_seq.seq)
+    if align.hp:
+        set_hp_cols(align)
+    dyn_prog(align)
+    max_score = trim_argmax_last_col(align)
+    find_align_begin(align)
+    if max_score >= TRIM_SCORE_CUT or max_score >= (
+        (align.aer - align.abr + 1) * FLAT_MATCH
+    ):
+        frag_seq.trimmed = True
+        frag_seq.trim_point = align.abc - 1
+    else:
+        frag_seq.trimmed = False
+
+
+def sg_align(
+    maln: MapAlignment,
+    fs: FragSeq,
+    fsdb: FSDB,
+    fw_a: Alignment,
+    rc_a: Alignment,
+) -> bool:
+    """Align one read fw+rc, keep the better strand, merge into the maln and
+    insert into the FSDB (src/map_align.c:1500-1665)."""
+    rs = maln.ref
+    length = fs.trim_point + 1 if fs.trimmed else fs.seq_len
+    set_seq2(fw_a, fs.seq, length)
+    set_seq2(rc_a, fs.seq, length)
+    if fw_a.hp:
+        set_hp_rows(fw_a)
+        set_hp_rows(rc_a)
+    fw_a.sg5 = fw_a.sg3 = True
+    rc_a.sg5 = rc_a.sg3 = True
+
+    dyn_prog(fw_a)
+    dyn_prog(rc_a)
+    max_fw = max_sg_score(fw_a)
+    max_rc = max_sg_score(rc_a)
+    best_a = fw_a if max_fw > max_rc else rc_a
+
+    find_align_begin(best_a)
+
+    front = PWAlnFrag()
+    front.ref_id = rs.id
+    front.ref_desc = rs.desc
+    front.frag_id = fs.id
+    front.frag_desc = fs.desc
+    front.ref_seq, front.frag_seq = populate_pwaln_to_begin(best_a)
+    front.start = best_a.abc
+    front.end = best_a.aec
+    front.trimmed = fs.trimmed
+    front.segment = "a"
+    front.score = best_a.best_score
+    fs.score = best_a.best_score
+
+    if best_a.rc:
+        revcom_PWAF(front)
+        front.revcom = True
+        fs.rc = True
+        front.start = c2rcc(best_a.aec, rs.seq_len)
+        front.end = c2rcc(best_a.abc, rs.seq_len)
+        fs.as_ = c2rcc(best_a.aec, rs.seq_len)
+        fs.ae = c2rcc(best_a.abc, rs.seq_len)
+    else:
+        front.revcom = False
+        fs.rc = False
+        fs.as_ = best_a.abc
+        fs.ae = best_a.aec
+    if fs.as_ > fs.ae:
+        # wrapped rc alignment: keep ae beyond seq_len for the next round
+        # (src/map_align.c:1600-1604)
+        fs.ae = rs.seq_len + fs.as_
+
+    if front.end > rs.seq_len:
+        front.end = front.end - rs.seq_len
+
+    if fs.score >= FIRST_ROUND_SCORE_CUTOFF or maln.distant_ref:
+        if front.start > front.end:
+            back = split_pwaln(front, rs.seq_len)
+            fs.front_asp = merge_pwaln_into_maln(front, maln)
+            fs.back_asp = merge_pwaln_into_maln(back, maln)
+        else:
+            fs.front_asp = merge_pwaln_into_maln(front, maln)
+            fs.back_asp = None
+        fs.unique_best = True
+        fs.num_inputs = 1
+        fs.strand_known = fs.score > FIRST_ROUND_SCORE_CUTOFF
+        add_virgin_fs2fsdb(fs, fsdb)
+    return True
+
+
+def reiterate_assembly(
+    new_ref_seq: str,
+    iter_num: int,
+    maln: MapAlignment,
+    fsdb: FSDB,
+    a: Alignment,
+    ancsubmat: np.ndarray,
+    rcancsubmat: np.ndarray,
+) -> None:
+    """Re-align every FSDB read against the new consensus
+    (src/mia_main.c:24-280).
+
+    Known-strand reads realign in a [as-50, ae+50] window; unknown-strand
+    reads under -D re-probe both strands full-length.  Reads normalised to
+    reference orientation score with the revcom PSSM so end-damage stays on
+    the right molecular end."""
+    ref = maln.ref
+    ref_len = len(new_ref_seq)
+    ref.seq = new_ref_seq
+    ref.rcseq = None
+    if iter_num > 1:
+        ref.id = f"ConsAssem.{iter_num}"
+        ref.desc = "iteration assembly"
+    ref.seq_len = ref_len
+    ref.size = ref_len + 1
+    if ref.circular:
+        add_ref_wrap(ref)
+    else:
+        ref.wrap_seq_len = ref.seq_len
+    ref.gaps = np.zeros(ref.wrap_seq_len + 1, dtype=np.int64)
+
+    if a.hp:
+        a.hpcl, a.hpcs = pop_hpl_and_hps(ref.seq[: ref.wrap_seq_len])
+
+    # clear insert arrays of live slots, then reset the logical count; slot
+    # objects persist for reuse (src/mia_main.c:81-106)
+    for asp in maln.pool[: maln.num_aln_seqs]:
+        asp.ins = {}
+    maln.num_aln_seqs = 0
+
+    for fs in fsdb.fss:
+        # distant-ref + unknown strand: full-length fw+rc re-probe
+        if maln.distant_ref and not fs.strand_known and iter_num > 1:
+            a.submat = ancsubmat
+            set_seq1(a, ref.seq[: ref.wrap_seq_len])
+            set_seq2(a, fs.seq)
+            if a.hp:
+                set_hp_rows(a)
+                set_hp_cols(a)
+            dyn_prog(a)
+            max_score = max_sg_score(a)
+            if max_score > FIRST_ROUND_SCORE_CUTOFF:
+                fs.strand_known = True
+                fs.rc = False
+                find_align_begin(a)
+                fs.as_ = a.abc
+                fs.ae = a.aec
+                fs.score = max_score
+
+            a.submat = rcancsubmat
+            tmp_rc = revcom(fs.seq)
+            set_seq2(a, tmp_rc, a.len2)
+            if a.hp:
+                set_hp_rows(a)
+                set_hp_cols(a)
+            dyn_prog(a)
+            max_score = max_sg_score(a)
+            if max_score > FIRST_ROUND_SCORE_CUTOFF and max_score > fs.score:
+                fs.strand_known = True
+                fs.rc = True
+                find_align_begin(a)
+                fs.as_ = a.abc
+                fs.ae = a.aec
+                fs.score = max_score
+                fs.seq = tmp_rc
+
+        if fs.strand_known:
+            a.submat = rcancsubmat if fs.rc else ancsubmat
+            set_seq2(a, fs.seq)
+
+            ref_start = max(fs.as_ - REALIGN_BUFFER, 0)
+            if (fs.ae + REALIGN_BUFFER + 1) > ref.wrap_seq_len:
+                ref_end = ref.wrap_seq_len
+            else:
+                ref_end = fs.ae + REALIGN_BUFFER
+            if (ref_start + a.len2) > ref_end:
+                ref_start = 0
+                ref_end = ref.wrap_seq_len
+
+            set_seq1(a, ref.seq[ref_start:ref_end])
+            if a.hp:
+                set_hp_rows(a)
+                set_hp_cols(a)
+            dyn_prog(a)
+            max_sg_score(a)
+            find_align_begin(a)
+
+            front = PWAlnFrag()
+            front.ref_seq, front.frag_seq = populate_pwaln_to_begin(a)
+            front.ref_id = ref.id
+            front.ref_desc = ref.desc
+            front.frag_id = fs.id
+            front.frag_desc = fs.desc
+            front.trimmed = fs.trimmed
+            front.revcom = fs.rc
+            front.num_inputs = fs.num_inputs
+            front.segment = "a"
+            front.score = a.best_score
+            front.start = a.abc + ref_start
+            front.end = a.aec + ref_start
+
+            fs.as_ = a.abc + ref_start
+            fs.ae = a.aec + ref_start
+            fs.unique_best = True
+            fs.score = a.best_score
+
+            if front.end > ref.seq_len:
+                front.end = front.end - ref.seq_len
+
+            if front.start > front.end:
+                back = split_pwaln(front, ref.seq_len)
+                fs.front_asp = merge_pwaln_into_maln(front, maln)
+                fs.back_asp = merge_pwaln_into_maln(back, maln)
+            else:
+                fs.front_asp = merge_pwaln_into_maln(front, maln)
+                fs.back_asp = None
