@@ -71,9 +71,10 @@ class Alignment:
     sg5: bool = False
     sg3: bool = False
     rc: bool = False
-    # results
-    score: Optional[np.ndarray] = None  # [len2, len1] int64
-    trace: Optional[np.ndarray] = None  # [len2, len1] int32
+    # results; score/trace cover columns [col_off, col_off + width)
+    score: Optional[np.ndarray] = None  # [len2, width] int64
+    trace: Optional[np.ndarray] = None  # [len2, width] int32
+    col_off: int = 0
     abc: int = 0
     abr: int = 0
     aec: int = 0
@@ -83,15 +84,38 @@ class Alignment:
 
 def dyn_prog(a: Alignment) -> None:
     """Fill a.score / a.trace for the current sequences (exact semantics of
-    src/mia.c:740-981, row-vectorised)."""
-    len1, len2 = a.len1, a.len2
-    s1c = a.s1c[:len1]
-    s2c = a.s2c[:len2]
-    mask = (
-        a.align_mask[:len1].astype(bool)
+    src/mia.c:740-981, row-vectorised).
+
+    Band reduction: columns outside the open region of align_mask hold HIM
+    and can never win against the ever-present restart option, so computing
+    the window [lo-2 .. hi] (lo/hi = first/last open column, two masked
+    columns kept as stand-ins for the entire masked left context) reproduces
+    the full matrix exactly over every reachable cell.  ``a.col_off`` maps
+    window-local columns back to reference columns.
+    """
+    full_len1, len2 = a.len1, a.len2
+    full_mask = (
+        a.align_mask[:full_len1].astype(bool)
         if a.align_mask is not None
-        else np.ones(len1, dtype=bool)
+        else np.ones(full_len1, dtype=bool)
     )
+    open_cols = np.flatnonzero(full_mask)
+    if len(open_cols) == 0:
+        # fully masked: every cell is HIM; a single column reproduces the
+        # observable behaviour (argmax -> col 0, immediate trace stop)
+        a.col_off = 0
+        a.score = np.full((len2, min(full_len1, 1)), HIM, dtype=np.int64)
+        a.trace = np.zeros((len2, min(full_len1, 1)), dtype=np.int32)
+        return
+    win_lo = max(int(open_cols[0]) - 2, 0)
+    win_hi = int(open_cols[-1])
+    a.col_off = win_lo
+    len1 = win_hi - win_lo + 1
+    s1c = a.s1c[win_lo : win_lo + len1]
+    s2c = a.s2c[:len2]
+    mask = full_mask[win_lo : win_lo + len1]
+    # (when win_lo > 0 the window's local column 0 is masked by construction,
+    # so the real column-0 special case below only ever fires at win_lo == 0)
     sm = a.submat  # [31,5,5]
     depths = depth_vector(len2)
 
@@ -119,12 +143,17 @@ def dyn_prog(a: Alignment) -> None:
     upd_mask[: len1 - 1] = mask[1:]
 
     if a.hp:
-        hpcl = a.hpcl[:len1].astype(np.int64)
-        hpcs = a.hpcs[:len1].astype(np.int64)
+        # homopolymer arrays are global-indexed; slice to the window and keep
+        # global column values for the start/length comparisons
+        hpcl = a.hpcl[win_lo : win_lo + len1].astype(np.int64)
+        hpcs = a.hpcs[win_lo : win_lo + len1].astype(np.int64)
         hprl = a.hprl[:len2].astype(np.int64)
         hprs = a.hprs[:len2].astype(np.int64)
-        seq1b = np.frombuffer(a.seq1[:len1].encode("latin-1"), dtype=np.uint8)
+        seq1b = np.frombuffer(
+            a.seq1[win_lo : win_lo + len1].encode("latin-1"), dtype=np.uint8
+        )
         seq2b = np.frombuffer(a.seq2[:len2].encode("latin-1"), dtype=np.uint8)
+        gcols = cols + win_lo  # global column index per window position
 
     for row in range(1, len2):
         prev = score[row - 1]
@@ -177,10 +206,15 @@ def dyn_prog(a: Alignment) -> None:
         # ---- homopolymer discounted gaps (src/mia.c:883-905) ----
         if a.hp:
             same = seq1b == seq2b[row]
-            ok_c = same & (hprs[row] == row) & (hpcs != cols) & (hpcs > 0)
-            pen = _hp_penalty_vec(cols - hpcs, np.full(len1, hprl[row]))
-            hp_col = np.where(ok_c, prev[np.maximum(hpcs - 1, 0)] - pen, HIM)
-            ok_r = same & (hpcs == cols) & (hprs[row] != row) & (hprs[row] > 0)
+            # hp jump targets left of the window are masked-HIM cells in the
+            # full matrix and can never win; drop them
+            in_win = (hpcs - 1) >= win_lo
+            ok_c = same & (hprs[row] == row) & (hpcs != gcols) & (hpcs > 0) & in_win
+            pen = _hp_penalty_vec(gcols - hpcs, np.full(len1, hprl[row]))
+            hp_col = np.where(
+                ok_c, prev[np.maximum(hpcs - 1 - win_lo, 0)] - pen, HIM
+            )
+            ok_r = same & (hpcs == gcols) & (hprs[row] != row) & (hprs[row] > 0)
             if hprs[row] > 0:
                 srcrow = score[hprs[row] - 1]
                 hp_row = np.full(len1, HIM, dtype=np.int64)
@@ -219,7 +253,9 @@ def dyn_prog(a: Alignment) -> None:
             tr_gc[2:] = bgc
         tr_gr = np.zeros(len1, dtype=np.int64)
         tr_gr[1:] = -bgr
-        tr_hc = np.maximum(a.hpcs[:len1].astype(np.int64) - 1, -1) if a.hp else np.zeros(len1, dtype=np.int64)
+        tr_hc = (
+            np.maximum(hpcs - 1 - win_lo, 0) if a.hp else np.zeros(len1, dtype=np.int64)
+        )
         tr_hr = np.int64(-(hprs[row] - 1)) if a.hp else np.int64(0)
         new_trace = np.where(
             is_start,
@@ -245,13 +281,19 @@ def dyn_prog(a: Alignment) -> None:
 
 
 def max_sg_score(a: Alignment) -> int:
-    """Last-row argmax; earliest column wins ties (src/mia.c:1278-1302)."""
+    """Last-row argmax; earliest column wins ties (src/mia.c:1278-1302).
+
+    Columns outside the computed window hold HIM in the full matrix; any open
+    column beats HIM (the restart option bounds every open cell well above
+    it), so the window argmax maps directly to the full-matrix argmax."""
     row = a.len2 - 1
     if row < 0:
         return -(2**31)
-    last = a.score[row, : a.len1]
+    last = a.score[row]
     col = int(np.argmax(last))  # first occurrence == earliest tie
-    a.aec = col
+    if int(last[col]) == HIM and a.col_off == 0:
+        col = 0  # all-HIM row: the reference picks global column 0
+    a.aec = col + a.col_off
     a.aer = row
     a.best_score = int(last[col])
     return a.best_score
@@ -259,8 +301,9 @@ def max_sg_score(a: Alignment) -> int:
 
 def find_align_begin(a: Alignment) -> None:
     """Walk the trace back from (aer, aec) to the alignment start
-    (src/mia.c:605-637)."""
-    row, col = a.aer, a.aec
+    (src/mia.c:605-637).  The walk runs in window-local columns (trace values
+    are local) and converts at the end."""
+    row, col = a.aer, a.aec - a.col_off
     tr = a.trace
     while tr[row, col] != col and tr[row, col] != -row:
         t = tr[row, col]
@@ -273,7 +316,7 @@ def find_align_begin(a: Alignment) -> None:
         else:
             col = t
             row -= 1
-    a.abc = col
+    a.abc = col + a.col_off
     a.abr = row
 
 
@@ -282,11 +325,12 @@ def populate_pwaln_to_begin(a: Alignment) -> tuple[str, str]:
     (src/map_align.c:1440-1497)."""
     ras: list[str] = []
     fas: list[str] = []
-    row, col = a.aer, a.aec
+    off = a.col_off
+    row, col = a.aer, a.aec - off
     tr = a.trace
     s1, s2 = a.seq1, a.seq2
     while tr[row, col] != col and tr[row, col] != -row:
-        ras.append(s1[col])
+        ras.append(s1[col + off])
         fas.append(s2[row])
         t = tr[row, col]
         if t == 0:
@@ -306,9 +350,9 @@ def populate_pwaln_to_begin(a: Alignment) -> tuple[str, str]:
             col -= 1
             while col > next_col:
                 fas.append("-")
-                ras.append(s1[col])
+                ras.append(s1[col + off])
                 col -= 1
-    ras.append(s1[col])
+    ras.append(s1[col + off])
     fas.append(s2[row])
     return "".join(reversed(ras)), "".join(reversed(fas))
 
@@ -316,9 +360,9 @@ def populate_pwaln_to_begin(a: Alignment) -> tuple[str, str]:
 def trim_argmax_last_col(a: Alignment) -> int:
     """Best score in the last column, earliest row wins ties
     (trim_frag, src/map_align.c:1340-1353)."""
-    col = a.len1 - 1
+    col = a.len1 - 1 - a.col_off
     colvals = a.score[: a.len2, col]
     row = int(np.argmax(colvals))
-    a.aec = col
+    a.aec = col + a.col_off
     a.aer = row
     return int(colvals[row])
