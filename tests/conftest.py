@@ -1,0 +1,30 @@
+"""Test harness config: force JAX onto a virtual 8-device CPU mesh so the
+multi-chip sharding paths run everywhere (SURVEY §4: multi-host tests via
+xla_force_host_platform_device_count)."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+
+
+@pytest.fixture
+def fixtures_dir() -> str:
+    return FIXTURES
+
+
+@pytest.fixture
+def golden_dir() -> str:
+    return GOLDEN

@@ -1,0 +1,66 @@
+"""Golden-output tests: our mia must be byte-identical to the reference C
+binary (modulo the timestamp header line) across flag configurations.
+
+Golden files were produced by the reference implementation built from
+/root/reference (see scripts/make_goldens.sh); they are committed so the
+suite runs without a C toolchain.
+"""
+import os
+import subprocess
+import sys
+
+import pytest
+
+from .conftest import FIXTURES, GOLDEN
+
+CONFIGS = {
+    "default": ["-r", "tr1.fna", "-f", "tf.fna"],
+    "circular": ["-r", "tr1.fna", "-f", "tf.fna", "-c"],
+    "hp": ["-r", "tr1.fna", "-f", "tf.fna", "-h"],
+    "trim": ["-r", "tr1.fna", "-f", "tf.fna", "-T"],
+    "kmer": ["-r", "tr1.fna", "-f", "tf.fna", "-k", "12"],
+    "p2": ["-r", "tr1.fna", "-f", "tf.fna", "-p", "2"],
+    "fastq_UC": ["-r", "tr1.fna", "-f", "tf.fastq", "-U", "-C2"],
+    "distant": ["-r", "tr1_distant.fna", "-f", "tf.fna", "-D"],
+    "sim200": [
+        "-r", "mt_sim.fna", "-f", "sim200.fastq", "-c",
+        "-s", "ancient.submat.txt", "-k", "12", "-u",
+    ],
+}
+
+
+def _run_mia(args, workdir):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "-m", "mia_tpu.cli.mia", *args, "-m", "out.maln"],
+        cwd=workdir,
+        env=env,
+        check=True,
+        capture_output=True,
+    )
+
+
+def _norm(path):
+    with open(path, "rb") as fh:
+        lines = fh.read().split(b"\n")
+    return b"\n".join(lines[1:])  # drop the asctime header line
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_maln_byte_identical(name, tmp_path):
+    golden = os.path.join(GOLDEN, name)
+    if not os.path.isdir(golden):
+        pytest.skip(f"no golden outputs for {name}")
+    args = [
+        os.path.join(FIXTURES, a) if a.endswith((".fna", ".fastq")) else a
+        for a in CONFIGS[name]
+    ]
+    _run_mia(args, tmp_path)
+    produced = sorted(p for p in os.listdir(tmp_path) if p.startswith("out.maln."))
+    expected = sorted(os.listdir(golden))
+    assert produced == expected, f"iteration files differ: {produced} vs {expected}"
+    for fn in expected:
+        assert _norm(tmp_path / fn) == _norm(os.path.join(golden, fn)), (
+            f"{name}/{fn} differs from reference output"
+        )
