@@ -140,6 +140,7 @@ def read_ma(path: str) -> MapAlignment:
     if "__ALNSEQS__" not in nx():
         raise ValueError(f"Do not see __ALNSEQS__ line in {path}")
 
+    records: list[AlnSeq] = []
     for _ in range(num_aln_seqs):
         a = AlnSeq()
         a.id = nx()[3:].split()[0]
@@ -170,5 +171,6 @@ def read_ma(path: str) -> MapAlignment:
         toks = ins_line[len("INS_POS"):].split()
         for k in range(0, len(toks) - 1, 2):
             a.ins[int(toks[k])] = toks[k + 1]
-        maln.aln_seqs.append(a)
+        records.append(a)
+    maln.set_aln_seqs(records)
     return maln
