@@ -1,0 +1,151 @@
+"""Pallas TPU kernel for the batched semi-global DP scorer.
+
+Layout: one program per batch block; reads on sublanes, reference columns on
+lanes ([BB, W] int32 vectors in VMEM).  The row loop is a fori_loop carrying
+(prev, prev2, rbest, snap); the column-gap prefix max runs as a Hillis-Steele
+doubling scan over lanes (log2(W) shifted maxes), everything else is pure VPU
+elementwise work.  Integer semantics identical to
+:mod:`mia_tpu.ops.dp_numpy` — this kernel feeds the same host traceback.
+
+Per-cell work: ~14 int32 vector ops + ~2*log2(W)/row amortised scan ops; at
+W=16k, L=128 a block of 8 reads is ~16M cells with ~4.6MB of VMEM resident.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import GEP, GOP, HIM
+
+_LOW = np.int32(-(2**30) - 2**29)
+
+
+def _prefix_max_lanes(x: jax.Array, W: int) -> jax.Array:
+    """Inclusive prefix max along the last (lane) axis via doubling."""
+    shift = 1
+    while shift < W:
+        shifted = jnp.pad(x, ((0, 0), (shift, 0)), constant_values=_LOW)[:, :W]
+        x = jnp.maximum(x, shifted)
+        shift *= 2
+    return x
+
+
+def _dp_kernel(
+    s1c_ref,      # [1, W] int32
+    mask_ref,     # [BB, W] int32 (0/1)
+    row_sm_ref,   # [BB, L, 5] int32 precomputed per-row substitution scores
+    lengths_ref,  # [BB, 1] int32
+    out_ref,      # [BB, W] int32 snapshot of each read's last row
+    *,
+    W: int,
+    L: int,
+    sg5: bool,
+):
+    BB = mask_ref.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
+    s1c = s1c_ref[0, :]
+    # masks stay int32 throughout: Mosaic cannot shift/pad i1 vectors
+    mask_i = mask_ref[...]
+    mask = mask_i != 0
+    lengths = lengths_ref[...]  # [BB,1]
+
+    def cell_sub_for(row):
+        # row_sm[b, row, s1c[w]] as five masked selects (VPU-friendly gather)
+        acc = jnp.zeros((BB, W), jnp.int32)
+        for i in range(5):
+            v = row_sm_ref[:, row, i][:, None]  # [BB,1]
+            acc = jnp.where(s1c[None, :] == i, v, acc)
+        return acc
+
+    row0 = jnp.where(mask, cell_sub_for(0), jnp.int32(HIM))
+    upd_mask_i = jnp.pad(mask_i[:, 1:], ((0, 0), (0, 1)))
+    mask2_i = jnp.pad(mask_i[:, 2:], ((0, 0), (0, 2)))
+
+    def body(row, carry):
+        prev, prev2, rbest, snap = carry
+        cell_sub = cell_sub_for(row)
+        sg5_pen = (GOP + GEP * (row + 1)) if sg5 else 0
+
+        m = prev + GEP * cols
+        cand = jnp.where(mask2_i != 0, m, _LOW)
+        cand = jnp.where(cols == 0, m, cand)
+        run_max = _prefix_max_lanes(cand, W)
+        # gap_col[c] = run_max[c-2] - GOP - GEP*(c-1)
+        rm2 = jnp.pad(run_max, ((0, 0), (2, 0)), constant_values=_LOW)[:, :W]
+        gap_col = jnp.where(cols >= 2, rm2 - GOP - GEP * (cols - 1), jnp.int32(HIM))
+
+        cand_r = prev2 + GEP * (row - 2)
+        rbest = jnp.where(
+            (row >= 2) & (upd_mask_i != 0) & (cand_r > rbest), cand_r, rbest
+        )
+        rb1 = jnp.pad(rbest, ((0, 0), (1, 0)), constant_values=_LOW)[:, :W]
+        gap_row = jnp.where(
+            (row >= 2) & (cols >= 1), rb1 - GOP - GEP * (row - 1), jnp.int32(HIM)
+        )
+
+        diag = jnp.pad(prev, ((0, 0), (1, 0)), constant_values=_LOW)[:, :W]
+        start_new = jnp.int32(-sg5_pen)
+
+        is_start = (start_new > diag) & (start_new > gap_col) & (start_new > gap_row)
+        is_diag = (diag >= gap_col) & (diag >= gap_row)
+        base = jnp.where(is_diag, diag, jnp.maximum(gap_col, gap_row))
+        new_row = jnp.where(is_start, start_new, cell_sub + base)
+        new_row = jnp.where(cols == 0, cell_sub - sg5_pen, new_row)
+        new_row = jnp.where(mask, new_row, jnp.int32(HIM))
+
+        snap = jnp.where(lengths - 1 == row, new_row, snap)
+        return new_row, prev, rbest, snap
+
+    _, _, _, snap = jax.lax.fori_loop(1, L, body, (row0, row0, row0, row0))
+    out_ref[...] = snap
+
+
+@functools.partial(jax.jit, static_argnames=("sg5", "block_b"))
+def pallas_last_row(
+    s1c: jax.Array,     # [W] int32
+    mask: jax.Array,    # [B, W] bool/int
+    row_sm: jax.Array,  # [B, L, 5] int32
+    lengths: jax.Array,  # [B] int32
+    sg5: bool = True,
+    block_b: int = 8,
+) -> jax.Array:
+    """Pallas-call wrapper: grid over batch blocks; returns [B, W] int32 last
+    DP rows."""
+    B, W = mask.shape
+    L = row_sm.shape[1]
+    assert B % block_b == 0, "pad the batch to a multiple of block_b"
+    kernel = functools.partial(_dp_kernel, W=W, L=L, sg5=sg5)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, W), jnp.int32),
+        grid=(B // block_b,),
+        in_specs=[
+            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, L, 5), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * B * W * L, bytes_accessed=(2 * B * W + B * L * 5) * 4,
+            transcendentals=0,
+        ),
+    )(
+        s1c.reshape(1, W).astype(jnp.int32),
+        mask.astype(jnp.int32),
+        row_sm.astype(jnp.int32),
+        lengths.reshape(B, 1).astype(jnp.int32),
+    )
+
+
+def make_row_sm(submat: np.ndarray, s2c: np.ndarray, depths: np.ndarray) -> np.ndarray:
+    """Precompute per-(read,row) substitution score vectors:
+    row_sm[b, r, i] = submat[depth[b,r], i, s2c[b,r]]."""
+    return submat[depths, :, :][
+        np.arange(s2c.shape[0])[:, None], np.arange(s2c.shape[1])[None, :], :, s2c
+    ]
