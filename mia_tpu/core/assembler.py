@@ -120,6 +120,34 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     seen = 0
     fw_align.submat = ancsubmat
     rc_align.submat = ancsubmat
+
+    # device pass-1 engine: score batches on the TPU, traceback on host
+    use_jax = cfg.engine == "jax" and not cfg.hp_special
+    scorer = None
+    pending: list = []
+    if use_jax:
+        from .jax_engine import Pass1Scorer
+
+        scorer = Pass1Scorer(
+            fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat
+        )
+
+    def flush_pending() -> None:
+        if not pending:
+            return
+        reads = [
+            (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
+            for f, _, _ in pending
+        ]
+        results = scorer.score_batch(
+            reads, [m for _, m, _ in pending], [m for _, _, m in pending]
+        )
+        for (f, fm, rm), res in zip(pending, results):
+            fw_align.align_mask[: fw_align.len1] = fm
+            rc_align.align_mask[: rc_align.len1] = rm
+            sg_align(maln, f, fsdb, fw_align, rc_align, precomputed=res)
+        pending.clear()
+
     for frag_seq in iter_frag_seqs(cfg.frag_fn):
         seen += 1
         if good_ids is None or frag_seq.id in good_ids:
@@ -139,11 +167,24 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 fw_align.len1,
                 rc_align.len1,
             ):
-                sg_align(maln, frag_seq, fsdb, fw_align, rc_align)
+                if use_jax:
+                    pending.append(
+                        (
+                            frag_seq,
+                            fw_align.align_mask[: fw_align.len1].copy(),
+                            rc_align.align_mask[: rc_align.len1].copy(),
+                        )
+                    )
+                    if len(pending) >= 256:
+                        flush_pending()
+                else:
+                    sg_align(maln, frag_seq, fsdb, fw_align, rc_align)
         if seen % 1000 == 0:
             sys.stderr.write(".")
         if seen % 80000 == 0:
             sys.stderr.write("\n")
+    if use_jax:
+        flush_pending()
 
     pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
     sys.stderr.write("\n")

@@ -95,9 +95,14 @@ def sg_align(
     fsdb: FSDB,
     fw_a: Alignment,
     rc_a: Alignment,
+    precomputed=None,
 ) -> bool:
     """Align one read fw+rc, keep the better strand, merge into the maln and
-    insert into the FSDB (src/map_align.c:1500-1665)."""
+    insert into the FSDB (src/map_align.c:1500-1665).
+
+    With ``precomputed`` = (fw StrandScore, rc StrandScore) from the device
+    scorer, only the winning strand's DP is recomputed on host (in a
+    score-verified window) for traceback; otherwise both strands run here."""
     rs = maln.ref
     length = fs.trim_point + 1 if fs.trimmed else fs.seq_len
     set_seq2(fw_a, fs.seq, length)
@@ -108,11 +113,24 @@ def sg_align(
     fw_a.sg5 = fw_a.sg3 = True
     rc_a.sg5 = rc_a.sg3 = True
 
-    dyn_prog(fw_a)
-    dyn_prog(rc_a)
-    max_fw = max_sg_score(fw_a)
-    max_rc = max_sg_score(rc_a)
-    best_a = fw_a if max_fw > max_rc else rc_a
+    if precomputed is not None:
+        from .jax_engine import windowed_exact_dp
+
+        fw_ss, rc_ss = precomputed
+        dev = fw_ss if fw_ss.best > rc_ss.best else rc_ss
+        if dev.best < FIRST_ROUND_SCORE_CUTOFF and not maln.distant_ref:
+            # gate will reject this read: no traceback needed, nothing of its
+            # state survives (src/map_align.c:1614)
+            fs.score = dev.best
+            return True
+        best_a = fw_a if fw_ss.best > rc_ss.best else rc_a
+        windowed_exact_dp(best_a, dev.best, dev.aec)
+    else:
+        dyn_prog(fw_a)
+        dyn_prog(rc_a)
+        max_fw = max_sg_score(fw_a)
+        max_rc = max_sg_score(rc_a)
+        best_a = fw_a if max_fw > max_rc else rc_a
 
     find_align_begin(best_a)
 

@@ -13,7 +13,8 @@ from .conftest import GOLDEN
 
 def _run_ccheck(args, cwd):
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(
         [sys.executable, "-m", "mia_tpu.cli.ccheck", *args],
         cwd=cwd,

@@ -31,7 +31,8 @@ CONFIGS = {
 
 def _run_mia(args, workdir):
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     subprocess.run(
         [sys.executable, "-m", "mia_tpu.cli.mia", *args, "-m", "out.maln"],
         cwd=workdir,
