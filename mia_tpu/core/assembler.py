@@ -13,7 +13,8 @@ import numpy as np
 
 from ..config import MiaConfig
 from ..constants import INIT_ALN_SEQ_LEN, MAX_ITER, PSSM_DEPTH
-from ..io.fasta import iter_frag_seqs, read_fasta_ref
+from ..io.fasta import read_fasta_ref
+from ..io.native import iter_frag_seqs_fast as iter_frag_seqs
 from ..io.ids import parse_ids
 from ..io.maln import write_ma
 from ..io.pssm_io import find_read_pssm

@@ -98,6 +98,38 @@ class KmerPosArray:
         return hit, cnts, i
 
 
+def _expand_hits(kpa: KmerPosArray, codes: np.ndarray, frag_pos: np.ndarray):
+    """All (ref_pos, frag_pos) hit pairs for the given k-mer codes, in scan
+    order.  Returns (ref_positions, frag_positions, total_hits)."""
+    if len(codes) == 0 or len(kpa.uniq) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), 0
+    idx = np.searchsorted(kpa.uniq, codes)
+    idx_c = np.clip(idx, 0, len(kpa.uniq) - 1)
+    hit = kpa.uniq[idx_c] == codes
+    reps = np.where(hit, kpa.counts[idx_c], 0)
+    total = int(reps.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64), 0
+    sel = reps > 0
+    reps_s = reps[sel]
+    starts_rep = np.repeat(kpa.starts[idx_c[sel]], reps_s)
+    base = np.repeat(np.cumsum(reps_s) - reps_s, reps_s)
+    offs = np.arange(total) - base
+    ref_pos = kpa.positions[starts_rep + offs]
+    fp = np.repeat(frag_pos[sel], reps_s)
+    return ref_pos, fp, total
+
+
+def _union_intervals(mask: np.ndarray, lo: np.ndarray, hi: np.ndarray, n: int):
+    """mask[lo_i : hi_i+1] = 1 for all intervals, via a difference array."""
+    if len(lo) == 0:
+        return
+    diff = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(diff, lo, 1)
+    np.add.at(diff, np.minimum(hi + 1, n), -1)
+    mask[:n] = np.where(np.cumsum(diff[:n]) > 0, 1, mask[:n])
+
+
 def new_kmer_filter(
     seq: str,
     frag_len: int,
@@ -110,7 +142,13 @@ def new_kmer_filter(
     rc_len1: int,
 ) -> int:
     """Populate per-strand column masks for one read; returns nonzero iff the
-    read shares any k-mer with the reference (src/kmer.c:239-331)."""
+    read shares any k-mer with the reference (src/kmer.c:239-331).
+
+    Vectorised: all of the read's k-mers look up at once (searchsorted over
+    the CSR index), hit bands union through a difference array, and the
+    saturation rule collapses to 'total hits >= KMER_SATURATE opens the full
+    mask' (the reference saturates at the first prefix reaching the cap and
+    later bands add nothing, so the final mask is identical)."""
     if kmer_len < 0:
         fw_mask[:fw_len1] = 1
         # reference quirk: second memset also writes fwa's mask
@@ -125,32 +163,24 @@ def new_kmer_filter(
         return 0
 
     codes, valid = kmer_codes(seq[:frag_len], kmer_len)
-    num_f = 0
-    num_r = 0
-    for frag_pos in range(frag_len - kmer_len + 1):
-        if not valid[frag_pos]:
-            continue
-        inx = codes[frag_pos]
-        fhits = fkpa.lookup(inx) if fkpa is not None else np.zeros(0, np.int64)
-        if len(fhits):
-            ref_len = fw_len1
-            num_f += len(fhits)
-            if num_f >= KMER_SATURATE:
-                fw_mask[:fw_len1] = 1
-            for ref_pos in fhits:
-                lo = max(int(ref_pos) - frag_pos - ALIGN_MASK_BUFFER, 0)
-                hi = int(ref_pos) + (frag_len - frag_pos) + ALIGN_MASK_BUFFER
-                hi = min(hi, ref_len - 1)
-                fw_mask[lo : hi + 1] = 1
-        rhits = rkpa.lookup(inx) if rkpa is not None else np.zeros(0, np.int64)
-        if len(rhits):
-            ref_len = rc_len1
-            num_r += len(rhits)
-            if num_r >= KMER_SATURATE:
-                rc_mask[:rc_len1] = 1
-            for ref_pos in rhits:
-                lo = max(int(ref_pos) - frag_pos - ALIGN_MASK_BUFFER, 0)
-                hi = int(ref_pos) + frag_len - frag_pos - 1 + ALIGN_MASK_BUFFER
-                hi = min(hi, ref_len - 1)
-                rc_mask[lo : hi + 1] = 1
+    fpos = np.flatnonzero(valid)
+    codes_v = codes[fpos]
+
+    num_f = num_r = 0
+    if fkpa is not None:
+        ref_pos, fp, num_f = _expand_hits(fkpa, codes_v, fpos)
+        if num_f >= KMER_SATURATE:
+            fw_mask[:fw_len1] = 1
+        elif num_f:
+            lo = np.maximum(ref_pos - fp - ALIGN_MASK_BUFFER, 0)
+            hi = np.minimum(ref_pos + (frag_len - fp) + ALIGN_MASK_BUFFER, fw_len1 - 1)
+            _union_intervals(fw_mask, lo, hi, fw_len1)
+    if rkpa is not None:
+        ref_pos, fp, num_r = _expand_hits(rkpa, codes_v, fpos)
+        if num_r >= KMER_SATURATE:
+            rc_mask[:rc_len1] = 1
+        elif num_r:
+            lo = np.maximum(ref_pos - fp - ALIGN_MASK_BUFFER, 0)
+            hi = np.minimum(ref_pos + frag_len - fp - 1 + ALIGN_MASK_BUFFER, rc_len1 - 1)
+            _union_intervals(rc_mask, lo, hi, rc_len1)
     return num_f + num_r
