@@ -51,6 +51,91 @@ def _hp_penalty_vec(gap_len: np.ndarray, hplen2: np.ndarray) -> np.ndarray:
     return (GEP * gap_len + GOP * fr[idx]).astype(np.int64)
 
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _load_native():
+    """The C++ fill bakes the reference's GOP/GEP; only use it while the
+    runtime constants match (else fall back to the numpy path, which reads
+    them dynamically)."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes
+    import os
+
+    if GOP != 1000 or GEP != 200 or os.environ.get("MIA_TPU_NO_NATIVE") == "1":
+        return None
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libmiaio.so",
+    )
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.mia_dp_fill.restype = None
+    except (OSError, AttributeError):
+        return None
+    _NATIVE = lib
+    return lib
+
+
+def _native_fill(a, s1c, s2c, mask, len1, len2, win_lo) -> bool:
+    lib = _load_native()
+    if lib is None or len1 == 0 or len2 == 0:
+        return False
+    import ctypes
+
+    score = np.empty((len2, len1), dtype=np.int32)
+    trace = np.empty((len2, len1), dtype=np.int32)
+    s1c_c = np.ascontiguousarray(s1c, dtype=np.int8)
+    s2c_c = np.ascontiguousarray(s2c, dtype=np.int8)
+    mask_c = np.ascontiguousarray(mask, dtype=np.uint8)
+    sm_c = np.ascontiguousarray(a.submat, dtype=np.int32)
+
+    if a.hp:
+        hpcl = np.ascontiguousarray(a.hpcl[win_lo : win_lo + len1], dtype=np.int32)
+        hpcs = np.ascontiguousarray(a.hpcs[win_lo : win_lo + len1], dtype=np.int32)
+        hprl = np.ascontiguousarray(a.hprl[:len2], dtype=np.int32)
+        hprs = np.ascontiguousarray(a.hprs[:len2], dtype=np.int32)
+        seq1 = a.seq1[win_lo : win_lo + len1].encode("latin-1")
+        seq2 = a.seq2[:len2].encode("latin-1")
+        hp_args = (
+            hpcl.ctypes.data_as(ctypes.c_void_p),
+            hpcs.ctypes.data_as(ctypes.c_void_p),
+            hprl.ctypes.data_as(ctypes.c_void_p),
+            hprs.ctypes.data_as(ctypes.c_void_p),
+        )
+    else:
+        seq1 = b"\0" * len1
+        seq2 = b"\0" * len2
+        hp_args = (None, None, None, None)
+
+    lib.mia_dp_fill(
+        s1c_c.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(len1),
+        s2c_c.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(len2),
+        sm_c.ctypes.data_as(ctypes.c_void_p),
+        mask_c.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(1 if a.sg5 else 0),
+        ctypes.c_char_p(seq1),
+        ctypes.c_char_p(seq2),
+        *hp_args,
+        ctypes.c_int(win_lo),
+        score.ctypes.data_as(ctypes.c_void_p),
+        trace.ctypes.data_as(ctypes.c_void_p),
+    )
+    a.score = score
+    a.trace = trace
+    return True
+
+
 @dataclass
 class Alignment:
     """DP workspace + result (mirror of src/types.h:214-254)."""
@@ -116,6 +201,11 @@ def dyn_prog(a: Alignment) -> None:
     mask = full_mask[win_lo : win_lo + len1]
     # (when win_lo > 0 the window's local column 0 is masked by construction,
     # so the real column-0 special case below only ever fires at win_lo == 0)
+
+    # native fill (same recurrence, scalar C++): the winner for narrow bands
+    # where numpy dispatch overhead dominates
+    if _native_fill(a, s1c, s2c, mask, len1, len2, win_lo):
+        return
     sm = a.submat  # [31,5,5]
     depths = depth_vector(len2)
 
