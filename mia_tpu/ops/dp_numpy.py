@@ -413,6 +413,43 @@ def find_align_begin(a: Alignment) -> None:
 def populate_pwaln_to_begin(a: Alignment) -> tuple[str, str]:
     """Emit gapped (ref, frag) alignment strings walking the trace
     (src/map_align.c:1440-1497)."""
+    lib = _load_native()
+    if (
+        lib is not None
+        and a.trace.dtype == np.int32
+        and a.trace.flags["C_CONTIGUOUS"]
+    ):
+        import ctypes
+
+        len2, len1 = a.trace.shape
+        off = a.col_off
+        seq1 = a.seq1[off : off + len1].encode("latin-1")
+        seq2 = a.seq2[: a.len2].encode("latin-1")
+        cap = 2 * (len1 + len2) + 16
+        out_ref = ctypes.create_string_buffer(cap)
+        out_frag = ctypes.create_string_buffer(cap)
+        abr = ctypes.c_int32()
+        abc = ctypes.c_int32()
+        lib.mia_dp_traceback.restype = ctypes.c_int32
+        n = lib.mia_dp_traceback(
+            a.trace.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int(len1),
+            ctypes.c_int(len2),
+            ctypes.c_int(a.aer),
+            ctypes.c_int(a.aec - off),
+            ctypes.c_char_p(seq1),
+            ctypes.c_char_p(seq2),
+            out_ref,
+            out_frag,
+            ctypes.c_int(cap),
+            ctypes.byref(abr),
+            ctypes.byref(abc),
+        )
+        return (
+            out_ref.raw[:n].decode("latin-1"),
+            out_frag.raw[:n].decode("latin-1"),
+        )
+
     ras: list[str] = []
     fas: list[str] = []
     off = a.col_off

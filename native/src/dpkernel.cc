@@ -146,3 +146,59 @@ void mia_dp_fill(const int8_t* s1c, int len1, const int8_t* s2c, int len2,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Walk the trace back from (aer, aec) emitting the gapped alignment strings
+// (window-local columns; same trace encoding as the Python engine).  Returns
+// the alignment length; *abr/*abc receive the start cell.
+int32_t mia_dp_traceback(const int32_t* trace, int len1, int len2, int aer,
+                         int aec, const char* seq1, const char* seq2,
+                         char* out_ref, char* out_frag, int cap,
+                         int32_t* abr, int32_t* abc) {
+  (void)len2;
+  int row = aer, col = aec;
+  int n = 0;
+  char* r = out_ref + cap;
+  char* f = out_frag + cap;
+  const int32_t* tr = trace;
+  while (tr[(size_t)row * len1 + col] != col &&
+         tr[(size_t)row * len1 + col] != -row) {
+    *--r = seq1[col];
+    *--f = seq2[row];
+    ++n;
+    int32_t t = tr[(size_t)row * len1 + col];
+    if (t == 0) {
+      --row;
+      --col;
+    } else if (t < 0) {
+      int next_row = -t;
+      --row;
+      --col;
+      while (row > next_row) {
+        *--f = seq2[row--];
+        *--r = '-';
+        ++n;
+      }
+    } else {
+      int next_col = t;
+      --row;
+      --col;
+      while (col > next_col) {
+        *--f = '-';
+        *--r = seq1[col--];
+        ++n;
+      }
+    }
+  }
+  *--r = seq1[col];
+  *--f = seq2[row];
+  ++n;
+  *abr = row;
+  *abc = col;
+  memmove(out_ref, r, n);
+  memmove(out_frag, f, n);
+  return n;
+}
+
+}  // extern "C"
