@@ -308,4 +308,8 @@ def reiterate_assembly(
                 fs.back_asp = merge_pwaln_into_maln(back, maln)
             else:
                 fs.front_asp = merge_pwaln_into_maln(front, maln)
-                fs.back_asp = None
+                # reference quirk: reiterate does NOT clear back_asp here
+                # (src/mia_main.c:273-276, unlike sg_align's else branch), so
+                # a read split in pass 1 but not in this iteration keeps a
+                # stale back_asp aliasing another slot — and cull will emit
+                # that slot's record twice.  Preserved for byte parity.
