@@ -83,14 +83,64 @@ def _div(a: float, b: float) -> float:
     return a / b
 
 
+def _native_lib():
+    from ..ops.dp_numpy import _load_native
+
+    return _load_native()
+
+
+def _min_score(slope: float, intercept: float, length: int) -> float:
+    """intercept + slope*length with the reference binary's fused
+    multiply-add rounding when the native library is present."""
+    lib = _native_lib()
+    if lib is None:
+        return intercept + slope * length
+    import ctypes
+
+    out = np.zeros(1, np.float64)
+    lens = np.array([length], np.int32)
+    lib.mia_min_scores(
+        ctypes.c_double(slope),
+        ctypes.c_double(intercept),
+        lens.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(1),
+        out.ctypes.data_as(ctypes.c_void_p),
+    )
+    return float(out[0])
+
+
 def find_fsdb_score_cut(fsdb: FSDB) -> tuple[float, float]:
     """Least-squares fit of score vs length over unique, above-cutoff reads;
-    returns (slope, intercept) with the reference's max-slope-delta haircut."""
+    returns (slope, intercept) with the reference's max-slope-delta haircut.
+
+    Routed through the native library when available: the reference binary's
+    gcc -O2 build contracts the fit's multiply-adds into FMAs, and reads
+    sitting exactly on the cutoff line need the same rounding to reproduce
+    their dropped flags (see native/src/scorecut.cc)."""
     sel = [
         fs
         for fs in fsdb.fss
         if fs.unique_best and fs.score >= FIRST_ROUND_SCORE_CUTOFF
     ]
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        n = len(sel)
+        lens = np.array([fs.seq_len for fs in sel], np.int32)
+        scores = np.array([fs.score for fs in sel], np.int32)
+        selv = np.ones(n, np.uint8)
+        s = ctypes.c_double()
+        ic = ctypes.c_double()
+        lib.mia_score_cut_fit(
+            lens.ctypes.data_as(ctypes.c_void_p),
+            scores.ctypes.data_as(ctypes.c_void_p),
+            selv.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(n),
+            ctypes.byref(s),
+            ctypes.byref(ic),
+        )
+        return s.value, ic.value
     j = len(sel)
     xbar = _div(float(sum(fs.seq_len for fs in sel)), j)
     ybar = _div(float(sum(fs.score for fs in sel)), j)
@@ -159,9 +209,9 @@ def cull_maln_from_fsdb(
         if hard_cut > 0:
             min_score = float(hard_cut)
         elif culled.distant_ref:
-            min_score = intercept + slope * find_alignable_len(fs, culled.ref)
+            min_score = _min_score(slope, intercept, find_alignable_len(fs, culled.ref))
         else:
-            min_score = intercept + slope * fs.seq_len
+            min_score = _min_score(slope, intercept, fs.seq_len)
         if fs.unique_best:
             picked.append(fs.front_asp)
             if fs.score < min_score:
@@ -197,7 +247,8 @@ def init_QSSP(fs: FragSeq) -> None:
         b = _QBASE.get(fs.seq[i])
         if b is not None:
             q = ord(fs.qual[i]) if i < len(fs.qual) else 0
-            fs.qss[b, i] += np.uint32(q - 33)
+            # unsigned wraparound like the reference's unsigned int sums
+            fs.qss[b, i] += np.uint32((q - 33) & 0xFFFFFFFF)
 
 
 def best_base_at_pos(qss: np.ndarray, i: int) -> str:
@@ -227,7 +278,7 @@ def add_fs(cfs: FragSeq, fs: FragSeq) -> None:
             b = _QBASE.get(fs.seq[i])
             if b is not None:
                 q = ord(fs.qual[i]) if i < len(fs.qual) else 0
-                cfs.qss[b, offset + i] += np.uint32(q - 33)
+                cfs.qss[b, offset + i] += np.uint32((q - 33) & 0xFFFFFFFF)
     else:
         cfs.qss[:, offset : offset + fs.seq_len] += fs.qss[:, : fs.seq_len]
         fs.qss = None
@@ -256,7 +307,7 @@ def collapse_FSDB(
             if hard_cut > 0:
                 min_score = float(hard_cut)
             else:
-                min_score = intercept + slope * fs.seq_len
+                min_score = _min_score(slope, intercept, fs.seq_len)
             if fs.score >= min_score:
                 add_fs(cfs, fs)
             i += 1

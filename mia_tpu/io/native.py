@@ -70,6 +70,8 @@ def parse_reads_native(path: str) -> list[FragSeq] | None:
         raise OSError(f"cannot open {path}")
     try:
         count = lib.mia_reads_count(h)
+        if count == 0:
+            return []
         ids = _blob(lib, h, "ids")
         descs = _blob(lib, h, "descs")
         seqs = _blob(lib, h, "seqs")
