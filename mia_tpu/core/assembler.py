@@ -133,21 +133,32 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat
         )
 
-    def flush_pending() -> None:
-        if not pending:
-            return
-        reads = [
-            (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
-            for f, _, _ in pending
-        ]
-        results = scorer.score_batch(
-            reads, [m for _, m, _ in pending], [m for _, _, m in pending]
-        )
-        for (f, fm, rm), res in zip(pending, results):
+    # double-buffered device pipeline: while the TPU scores batch i, the
+    # host merges batch i-1 (read order — and therefore output — unchanged)
+    inflight: list = []
+
+    def _drain_oldest() -> None:
+        records, handle = inflight.pop(0)
+        results = scorer.collect(handle)
+        for (f, fm, rm), res in zip(records, results):
             fw_align.align_mask[: fw_align.len1] = fm
             rc_align.align_mask[: rc_align.len1] = rm
             sg_align(maln, f, fsdb, fw_align, rc_align, precomputed=res)
-        pending.clear()
+
+    def flush_pending(final: bool = False) -> None:
+        if pending:
+            records = pending[:]
+            pending.clear()
+            reads = [
+                (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
+                for f, _, _ in records
+            ]
+            handle = scorer.dispatch(
+                reads, [m for _, m, _ in records], [m for _, _, m in records]
+            )
+            inflight.append((records, handle))
+        while len(inflight) > (0 if final else 1):
+            _drain_oldest()
 
     for frag_seq in iter_frag_seqs(cfg.frag_fn):
         seen += 1
@@ -176,7 +187,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                             rc_align.align_mask[: rc_align.len1].copy(),
                         )
                     )
-                    if len(pending) >= 256:
+                    if len(pending) >= scorer.batch:
                         flush_pending()
                 else:
                     sg_align(maln, frag_seq, fsdb, fw_align, rc_align)
@@ -185,7 +196,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         if seen % 80000 == 0:
             sys.stderr.write("\n")
     if use_jax:
-        flush_pending()
+        flush_pending(final=True)
 
     pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
     sys.stderr.write("\n")

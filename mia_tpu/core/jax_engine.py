@@ -29,7 +29,7 @@ from ..constants import GEP
 from ..ops.dp_numpy import Alignment, dyn_prog, max_sg_score
 from ..utils.encoding import encode_seq
 
-SCORE_BATCH = 256
+SCORE_BATCH = 512
 MAX_INTERVALS = 16
 _L_BUCKETS = (32, 64, 96, 128, 192, 256)
 
@@ -97,38 +97,43 @@ class Pass1Scorer:
             hi = iv[:, :, 1][:, :, None]
             return ((cols >= lo) & (cols < hi)).any(axis=1)
 
-        if self._use_pallas:
-            from ..ops.dp_pallas import pallas_last_row
+        use_pallas = self._use_pallas
 
-            @functools.partial(jax.jit, static_argnames=())
-            def score(s1c, iv, row_sm, lengths):
-                mask = expand_mask(iv)
+        def strand_last_row(s1c, iv, payload, lengths):
+            mask = expand_mask(iv)
+            if use_pallas:
+                from ..ops.dp_pallas import pallas_last_row
+
                 last = pallas_last_row(
-                    s1c, mask, row_sm, lengths, sg5=True, block_b=8
+                    s1c, mask, payload, lengths, sg5=True, block_b=8
                 )
-                aec = jnp.argmax(last, axis=1).astype(jnp.int32)
-                best = jnp.take_along_axis(last, aec[:, None], axis=1)[:, 0]
-                return best, aec
-
-        else:
-
-            @functools.partial(jax.jit, static_argnames=())
-            def score(s1c, iv, s2c_lengths_depths, lengths):
-                s2c, depths = s2c_lengths_depths
-                mask = expand_mask(iv)
+            else:
+                s2c, depths = payload
                 last = batch_last_row(
                     s1c, mask, s2c, lengths, depths, self._sm, sg5=True
                 )
-                aec = jnp.argmax(last, axis=1).astype(jnp.int32)
-                best = jnp.take_along_axis(last, aec[:, None], axis=1)[:, 0]
-                return best, aec
+            aec = jnp.argmax(last, axis=1).astype(jnp.int32)
+            best = jnp.take_along_axis(last, aec[:, None], axis=1)[:, 0]
+            return best, aec
+
+        # one jitted call scores BOTH strands, returning ONE stacked [4, B]
+        # array: a single dispatch and a single result-fetch round-trip per
+        # batch (each fetch on a tunneled device link costs ~30 ms)
+        @functools.partial(jax.jit, static_argnames=())
+        def score(fw_s1c, rc_s1c, fw_iv, rc_iv, payload, lengths):
+            fb, fa = strand_last_row(fw_s1c, fw_iv, payload, lengths)
+            rb, ra = strand_last_row(rc_s1c, rc_iv, payload, lengths)
+            return jnp.stack([fb, fa, rb, ra])
 
         return score
 
-    def score_batch(self, reads, fw_masks, rc_masks):
-        """reads: list[str] (already trimmed); masks: per-read bool arrays.
-        Returns list of (fw StrandScore | None, rc StrandScore | None); None
-        entries mean 'score on host' (mask too fragmented)."""
+    def dispatch(self, reads, fw_masks, rc_masks):
+        """Enqueue a batch on the device WITHOUT blocking on the result.
+
+        Returns an opaque handle for :meth:`collect`.  JAX dispatch is
+        asynchronous, so the caller can keep doing host work (merging the
+        previous batch) while this one computes / transfers.
+        """
         import jax.numpy as jnp
 
         from ..ops.dp_jax import depths_for
@@ -136,7 +141,7 @@ class Pass1Scorer:
 
         n = len(reads)
         if n == 0:
-            return []
+            return (None, None, 0)
         B = self.batch
         assert n <= B
 
@@ -164,16 +169,27 @@ class Pass1Scorer:
                 rc_iv[b] = riv
 
         depths = depths_for(lengths, L)
-        out = []
         if self._use_pallas:
             payload = jnp.asarray(make_row_sm(self.submat, s2c, depths).astype(np.int32))
         else:
             payload = (jnp.asarray(s2c), jnp.asarray(depths))
-        ln = jnp.asarray(lengths)
-        for strand_s1c, iv in ((self._fw, fw_iv), (self._rc, rc_iv)):
-            best, aec = self._score_fn(strand_s1c, jnp.asarray(iv), payload, ln)
-            out.append((np.asarray(best), np.asarray(aec)))
-        (fb, fa), (rb, ra) = out
+        outs = self._score_fn(
+            self._fw,
+            self._rc,
+            jnp.asarray(fw_iv),
+            jnp.asarray(rc_iv),
+            payload,
+            jnp.asarray(lengths),
+        )
+        return (outs, host_only, n)
+
+    @staticmethod
+    def collect(handle):
+        """Materialise a dispatched batch into per-read StrandScore pairs."""
+        outs, host_only, n = handle
+        if n == 0:
+            return []
+        fb, fa, rb, ra = np.asarray(outs)
         res = []
         for b in range(n):
             if host_only[b]:
@@ -186,6 +202,12 @@ class Pass1Scorer:
                     )
                 )
         return res
+
+    def score_batch(self, reads, fw_masks, rc_masks):
+        """reads: list[str] (already trimmed); masks: per-read bool arrays.
+        Returns list of (fw StrandScore | None, rc StrandScore | None); None
+        entries mean 'score on host' (mask too fragmented)."""
+        return self.collect(self.dispatch(reads, fw_masks, rc_masks))
 
 
 def windowed_exact_dp(a: Alignment, device_best: int, device_aec: int) -> None:
