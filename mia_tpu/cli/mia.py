@@ -14,34 +14,73 @@ from ..core.assembler import run_assembly
 
 def help_text() -> str:
     return (
-        "\n\nMIA -- Mapping Iterativ Assembler V 1.0 (TPU-native)\n"
-        "       A tool for creating short read assemblies.\n\n"
+        "\n"
+        "\n"
+        "MIA -- Mapping Iterativ Assembler V 1.0\n"
+        "       A tool for creating short read assemblies.\n"
+        "\n"
+        "Copyright Richard E. Green, Michael Siebauer 2008-2009\n"
+        "Report bugs to <green@eva.mpg.de>.\n"
+        "===============================+++++++++++++==\n"
+        "\n"
         "Usage:\n"
         "mia -r <reference sequence>\n"
         "    -f <fasta or fastq file of fragments to align>\n"
         "    -s <substitution matrix file> (if not supplied an default matrix is used)\n"
         "    -m <root file name for maln output file(s)> (assembly.maln.iter)\n"
-        "    FILTER parameters:\n"
-        "    -u keep one repeat sequence based on alignment score\n"
-        "    -U keep one repeat sequence based on sum of q-scores\n"
-        "    -C<tolerance> collapse sequences with same start, end, strand\n"
-        "    -A aggressive 454 repeat removal\n"
-        "    -T trim adapters\n"
+        "    \n"
+        "FILTER parameters:\n"
+        "    -u fasta database has repeat sequences, keep one based on alignment score\n"
+        "    -U fasta database has repeat sequences, keep one based on sum of q-scores\n"
+        "    -C<tolerance> collapse sequences with same start, end, strand info into a single sequence\n"
+        "       Allow <tolerance> bases difference for start and end coordinates\n"
+        "       Important: keep NO SPACE between parameter and value: e.g. -C3\n"
+        "    -A use adapter presence and coordinate information to more aggressively\n"
+        "       remove repeat sequences - suitable only for 454 sequences that have not\n"
+        "       already been adapter trimmed\n"
+        "    -T fasta database has adapters, trim these\n"
         "    -a <adapter sequence or code>\n"
-        "    -k <kmer filter length>\n"
-        "    -I <file of sequence IDs to use>\n"
-        "    ALIGNMENT parameters:\n"
+        "    -k <use kmer filter with kmers of this length>\n"
+        "    -I <filename of list of sequence IDs to use, ignoring all others>\n"
+        "    \n"
+        "ALIGNMENT parameters:\n"
         "    -p <consensus calling code; default = 1>\n"
-        "    -c circular reference\n"
-        "    -i iterate until convergence (default) / -n do not\n"
-        "    -F only output the FINAL assembly\n"
-        "    -D distantly related reference\n"
-        "    -h homopolymer gap discount\n"
-        "    -M lower-case soft-masking of kmers\n"
-        "    -H <hard score cutoff>  -S <slope>  -N <intercept>\n"
-        f"Default matrix: MATCH={FLAT_MATCH}, MISMATCH={FLAT_MISMATCH}, N={N_SCORE}\n"
+        "    -c means reference/assembly is circular\n"
+        "    -i iterate assembly until convergence (default)\n"
+        "    -n do not iterate assembly until convergence\n"
+        "    -F <only output the FINAL assembly, not each iteration>\n"
+        "    -D <distantly related reference sequence>\n"
+        "    -h give special discount for homopolymer gaps\n"
+        "    -M <use lower-case soft-masking of kmers>\n"
+        "    -H <do not do dynamic score cutoff, instead use this Hard score cutoff>\n"
+        "    -S <slope of length/score cutoff line>\n"
+        "    -N <intercept of length/score cutoff line>\n"
+        "The default substitution matrix used the following parameters:\n"
+        "  MATCH=200, MISMATCH=-600, N=-100 for all positions\n"
+        "The procedure for removing bad-scoring alignments from the assembly is:\n"
+        "Default: fit a line to length versus score and remove reads that are\n"
+        "less that SCORE_CUTOFF_BUFFER than the average score for its length.\n"
+        "If -H is specified then this hard score cutoff is applied to all reads.\n"
+        "This is preferable if all reads are the same length.\n"
+        "If -S or -N are specified, then these are used as the slope and intercept\n"
+        "of a length/score line. Reads must score above this line to be included.\n"
+        "If only one of -S or -N is specified then the default values are used for\n"
+        "the other (default S = 200.0; default N = 0.0)\n"
+        "The kmer filter requires that a sequence fragment have at least one\n"
+        "kmer of the specified length in common with the reference sequence in\n"
+        "order to align it. For 36nt Solexa data, a value of 12 works well.\n"
+        "The -p option specifies how the new consensus assembly sequence is called\n"
+        "at each iteration:\n"
+        "1 => Any base whose aggregate score is MIN_SC_DIFF_CONS better than all\n"
+        "      others is the assembly base. If none is, then N is the assembly base.\n"
+        "2 => The best scoring base whose aggregate score is better than MIN_SCORE_CONS\n"
+        "     is the assembly base. If none is, then N is the assembly base.\n"
+        "If -T is specified, mia will attempt to find and trim adapters on\n"
+        "each sequence. The adapter sequence itself can be specified by a\n"
+        "one letter code as argument to -a. N or n => Neandertal adapter\n"
+        "                  any other single letter => Standard GS FLX adapter\n"
+        "              sequence (less than 127 nt) => user-specified adapter\n"
     )
-
 
 def _atoi(s: str) -> int:
     """C atoi: optional sign + leading digits, else 0."""
@@ -59,7 +98,7 @@ def parse_args(argv: list[str]) -> MiaConfig | None:
         nonlocal i
         i += 1
         if i >= len(argv):
-            raise SystemExit(help_text())
+            sys.stdout.write(help_text()); raise SystemExit(0)
         return argv[i]
 
     while i < len(argv):
@@ -111,7 +150,7 @@ def parse_args(argv: list[str]) -> MiaConfig | None:
             cfg.hard_cut = int(inline or need_val())
             if cfg.hard_cut <= 0:
                 print("Hard cutoff (-H) must be positive", file=sys.stderr)
-                print(help_text())
+                sys.stdout.write(help_text())
                 raise SystemExit(0)
             any_arg = True
         elif flag == "M":
@@ -158,12 +197,12 @@ def parse_args(argv: list[str]) -> MiaConfig | None:
         elif flag == "-" and arg == "--engine":
             cfg.engine = need_val()
         else:
-            print(help_text())
+            sys.stdout.write(help_text())
             raise SystemExit(0)
         i += 1
 
     if not any_arg:
-        print(help_text())
+        sys.stdout.write(help_text())
         raise SystemExit(0)
     return cfg
 

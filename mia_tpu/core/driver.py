@@ -25,6 +25,7 @@ from ..ops.dp_numpy import (
     find_align_begin,
     max_sg_score,
     populate_pwaln_to_begin,
+    solve_sg,
     trim_argmax_last_col,
 )
 from ..utils.encoding import encode_seq, pop_hpl_and_hps, revcom
@@ -126,20 +127,20 @@ def sg_align(
         best_a = fw_a if fw_ss.best > rc_ss.best else rc_a
         windowed_exact_dp(best_a, dev.best, dev.aec)
     else:
-        dyn_prog(fw_a)
-        dyn_prog(rc_a)
-        max_fw = max_sg_score(fw_a)
-        max_rc = max_sg_score(rc_a)
-        best_a = fw_a if max_fw > max_rc else rc_a
-
-    find_align_begin(best_a)
+        # traceback emit is O(path length) — cheap enough to do for both
+        # strands rather than refill the winner
+        solve_sg(fw_a)
+        solve_sg(rc_a)
+        best_a = fw_a if fw_a.best_score > rc_a.best_score else rc_a
 
     front = PWAlnFrag()
     front.ref_id = rs.id
     front.ref_desc = rs.desc
     front.frag_id = fs.id
     front.frag_desc = fs.desc
-    front.ref_seq, front.frag_seq = populate_pwaln_to_begin(best_a)
+    front.ref_seq, front.frag_seq = (
+        best_a.pw if best_a.pw is not None else populate_pwaln_to_begin(best_a)
+    )
     front.start = best_a.abc
     front.end = best_a.aec
     front.trimmed = fs.trimmed
@@ -232,12 +233,11 @@ def reiterate_assembly(
             if a.hp:
                 set_hp_rows(a)
                 set_hp_cols(a)
-            dyn_prog(a)
-            max_score = max_sg_score(a)
+            solve_sg(a, do_trace=False)
+            max_score = a.best_score
             if max_score > FIRST_ROUND_SCORE_CUTOFF:
                 fs.strand_known = True
                 fs.rc = False
-                find_align_begin(a)
                 fs.as_ = a.abc
                 fs.ae = a.aec
                 fs.score = max_score
@@ -248,12 +248,11 @@ def reiterate_assembly(
             if a.hp:
                 set_hp_rows(a)
                 set_hp_cols(a)
-            dyn_prog(a)
-            max_score = max_sg_score(a)
+            solve_sg(a, do_trace=False)
+            max_score = a.best_score
             if max_score > FIRST_ROUND_SCORE_CUTOFF and max_score > fs.score:
                 fs.strand_known = True
                 fs.rc = True
-                find_align_begin(a)
                 fs.as_ = a.abc
                 fs.ae = a.aec
                 fs.score = max_score
@@ -276,12 +275,12 @@ def reiterate_assembly(
             if a.hp:
                 set_hp_rows(a)
                 set_hp_cols(a)
-            dyn_prog(a)
-            max_sg_score(a)
-            find_align_begin(a)
+            solve_sg(a)
 
             front = PWAlnFrag()
-            front.ref_seq, front.frag_seq = populate_pwaln_to_begin(a)
+            front.ref_seq, front.frag_seq = (
+                a.pw if a.pw is not None else populate_pwaln_to_begin(a)
+            )
             front.ref_id = ref.id
             front.ref_desc = ref.desc
             front.frag_id = fs.id

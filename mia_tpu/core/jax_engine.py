@@ -32,6 +32,10 @@ from ..utils.encoding import encode_seq
 SCORE_BATCH = 512
 MAX_INTERVALS = 16
 _L_BUCKETS = (32, 64, 96, 128, 192, 256)
+# per-read reference window for the banded scorer; strands whose k-mer band
+# spans more than WIN_W columns fall back to the full-width scorer
+WIN_W = 384
+FULL_BATCH = 128
 
 
 @dataclass
@@ -72,15 +76,20 @@ class Pass1Scorer:
         self.W = -(-len1 // 128) * 128
         self.batch = batch
         self.submat = np.asarray(submat, dtype=np.int32)
-        fw = np.full(self.W, 4, np.int32)
+        # extra WIN_W of padding so per-read window gathers never run off the
+        # end (gathered junk columns are masked)
+        fw = np.full(self.W + WIN_W, 4, np.int32)
         fw[:len1] = np.asarray(fw_s1c[:len1], dtype=np.int32)
-        rc = np.full(self.W, 4, np.int32)
+        rc = np.full(self.W + WIN_W, 4, np.int32)
         rc[:len1] = np.asarray(rc_s1c[:len1], dtype=np.int32)
-        self._fw = jnp.asarray(fw)
-        self._rc = jnp.asarray(rc)
+        self._fw_pad = jnp.asarray(fw)
+        self._rc_pad = jnp.asarray(rc)
+        self._fw = self._fw_pad[: self.W]
+        self._rc = self._rc_pad[: self.W]
         self._sm = jnp.asarray(self.submat)
         self._use_pallas = jax.devices()[0].platform != "cpu"
         self._score_fn = self._build()
+        self._score_win_fn = self._build_win()
 
     def _build(self):
         import jax
@@ -127,6 +136,71 @@ class Pass1Scorer:
 
         return score
 
+    def _build_win(self):
+        """Windowed scorer: each (read, strand) gets a WIN_W-column slice of
+        the reference around its k-mer band, so device work per read is
+        O(read_len * WIN_W) instead of O(read_len * ref_len).
+
+        Exactness: every open (unmasked) column lies inside the window, the
+        window's local columns 0-1 are masked stand-ins for the whole masked
+        left context unless the window starts at true column 0 (the same
+        construction dp_numpy.dyn_prog uses for its host band), masked cells
+        hold HIM and can never win or influence an open cell, and the gap
+        cost terms are shift-invariant — so (best, aec) equal the full-width
+        values exactly."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.dp_jax import batch_last_row
+
+        use_pallas = self._use_pallas
+        fw_pad = self._fw_pad
+        rc_pad = self._rc_pad
+
+        def expand_mask_local(iv):  # [B, K, 2] window-local -> [B, WIN_W]
+            cols = jnp.arange(WIN_W, dtype=jnp.int32)[None, None, :]
+            lo = iv[:, :, 0][:, :, None]
+            hi = iv[:, :, 1][:, :, None]
+            return ((cols >= lo) & (cols < hi)).any(axis=1)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def score_win(fw_starts, rc_starts, fw_ivl, rc_ivl, payload, lengths):
+            def gather(ref, starts):
+                # one fused gather: [B, WIN_W] indices into the padded ref
+                idx = starts[:, None] + jnp.arange(WIN_W, dtype=jnp.int32)[None, :]
+                return ref[idx]
+
+            wins = jnp.concatenate(
+                [gather(fw_pad, fw_starts), gather(rc_pad, rc_starts)]
+            )
+            maskw = jnp.concatenate(
+                [expand_mask_local(fw_ivl), expand_mask_local(rc_ivl)]
+            )
+            ln2 = jnp.concatenate([lengths, lengths])
+            if use_pallas:
+                from ..ops.dp_pallas import pallas_last_row
+
+                payload2 = jnp.concatenate([payload, payload])
+                last = pallas_last_row(
+                    wins, maskw, payload2, ln2, sg5=True, block_b=8
+                )
+            else:
+                s2c, depths = payload
+                last = batch_last_row(
+                    wins,
+                    maskw,
+                    jnp.concatenate([s2c, s2c]),
+                    ln2,
+                    jnp.concatenate([depths, depths]),
+                    self._sm,
+                    sg5=True,
+                )
+            aec = jnp.argmax(last, axis=1).astype(jnp.int32)
+            best = jnp.take_along_axis(last, aec[:, None], axis=1)[:, 0]
+            return jnp.stack([best, aec])  # [2, 2B]: fw rows 0..B-1, rc B..
+
+        return score_win
+
     def dispatch(self, reads, fw_masks, rc_masks):
         """Enqueue a batch on the device WITHOUT blocking on the result.
 
@@ -141,7 +215,7 @@ class Pass1Scorer:
 
         n = len(reads)
         if n == 0:
-            return (None, None, 0)
+            return (None, None, None, None, None, 0)
         B = self.batch
         assert n <= B
 
@@ -151,11 +225,17 @@ class Pass1Scorer:
                 L = bucket
                 break
 
+        K = MAX_INTERVALS
         s2c = np.full((B, L), 4, np.int32)
         lengths = np.ones(B, np.int32)
-        fw_iv = np.zeros((B, MAX_INTERVALS, 2), np.int32)
-        rc_iv = np.zeros((B, MAX_INTERVALS, 2), np.int32)
+        fw_iv = np.zeros((B, K, 2), np.int32)
+        rc_iv = np.zeros((B, K, 2), np.int32)
+        fw_ivl = np.zeros((B, K, 2), np.int32)
+        rc_ivl = np.zeros((B, K, 2), np.int32)
+        fw_starts = np.zeros(B, np.int32)
+        rc_starts = np.zeros(B, np.int32)
         host_only = np.zeros(n, bool)
+        wide: list[int] = []
         for b, r in enumerate(reads):
             if r:
                 lengths[b] = len(r)
@@ -164,32 +244,91 @@ class Pass1Scorer:
             riv = mask_intervals(rc_masks[b][: self.len1])
             if fiv is None or riv is None:
                 host_only[b] = True
-            else:
+                continue
+            ok = True
+            for iv, ivl, starts in (
+                (fiv, fw_ivl, fw_starts),
+                (riv, rc_ivl, rc_starts),
+            ):
+                used = iv[:, 1] > 0
+                if not used.any():
+                    continue  # fully masked strand: empty window, HIM result
+                lo = int(iv[used, 0].min())
+                hi = int(iv[used, 1].max())
+                ws = max(0, lo - 2)
+                if hi - ws > WIN_W:
+                    ok = False
+                    break
+                starts[b] = ws
+                ivl[b] = np.where(used[:, None], iv - ws, 0)
+            if not ok:
+                wide.append(b)
                 fw_iv[b] = fiv
                 rc_iv[b] = riv
+                fw_starts[b] = rc_starts[b] = 0
+                fw_ivl[b] = 0
+                rc_ivl[b] = 0
 
         depths = depths_for(lengths, L)
         if self._use_pallas:
-            payload = jnp.asarray(make_row_sm(self.submat, s2c, depths).astype(np.int32))
+            row_sm = make_row_sm(self.submat, s2c, depths).astype(np.int32)
+            payload = jnp.asarray(row_sm)
         else:
             payload = (jnp.asarray(s2c), jnp.asarray(depths))
-        outs = self._score_fn(
-            self._fw,
-            self._rc,
-            jnp.asarray(fw_iv),
-            jnp.asarray(rc_iv),
+        outs_win = self._score_win_fn(
+            jnp.asarray(fw_starts),
+            jnp.asarray(rc_starts),
+            jnp.asarray(fw_ivl),
+            jnp.asarray(rc_ivl),
             payload,
             jnp.asarray(lengths),
         )
-        return (outs, host_only, n)
+        wide_handles = []
+        for i in range(0, len(wide), FULL_BATCH):
+            chunk = wide[i : i + FULL_BATCH]
+            m = len(chunk)
+            fwi = np.zeros((FULL_BATCH, K, 2), np.int32)
+            rci = np.zeros((FULL_BATCH, K, 2), np.int32)
+            fwi[:m] = fw_iv[chunk]
+            rci[:m] = rc_iv[chunk]
+            ln_w = np.ones(FULL_BATCH, np.int32)
+            ln_w[:m] = lengths[chunk]
+            if self._use_pallas:
+                pay_w = np.full((FULL_BATCH,) + row_sm.shape[1:], 0, np.int32)
+                pay_w[:m] = row_sm[chunk]
+                pay_w = jnp.asarray(pay_w)
+            else:
+                s2c_w = np.full((FULL_BATCH, L), 4, np.int32)
+                s2c_w[:m] = s2c[chunk]
+                d_w = depths_for(ln_w, L)
+                pay_w = (jnp.asarray(s2c_w), jnp.asarray(d_w))
+            outs = self._score_fn(
+                self._fw,
+                self._rc,
+                jnp.asarray(fwi),
+                jnp.asarray(rci),
+                pay_w,
+                jnp.asarray(ln_w),
+            )
+            wide_handles.append((outs, chunk))
+        return (outs_win, fw_starts, rc_starts, wide_handles, host_only, n)
 
     @staticmethod
     def collect(handle):
         """Materialise a dispatched batch into per-read StrandScore pairs."""
-        outs, host_only, n = handle
+        outs_win, fw_starts, rc_starts, wide_handles, host_only, n = handle
         if n == 0:
             return []
-        fb, fa, rb, ra = np.asarray(outs)
+        arr = np.asarray(outs_win)  # [2, 2B]
+        B = len(fw_starts)
+        fb = arr[0, :B].copy()
+        fa = arr[1, :B] + fw_starts
+        rb = arr[0, B:].copy()
+        ra = arr[1, B:] + rc_starts
+        for outs, chunk in wide_handles:
+            w = np.asarray(outs)  # [4, FULL_BATCH]
+            for k, b in enumerate(chunk):
+                fb[b], fa[b], rb[b], ra[b] = w[0, k], w[1, k], w[2, k], w[3, k]
         res = []
         for b in range(n):
             if host_only[b]:
@@ -213,8 +352,9 @@ class Pass1Scorer:
 def windowed_exact_dp(a: Alignment, device_best: int, device_aec: int) -> None:
     """Run the exact host DP for ``a`` restricted to a score-bounded window
     ending at the device-reported end column; falls back to the full width
-    when the window result disagrees."""
-    from ..ops.dp_numpy import find_align_begin
+    when the window result disagrees.  On return a.pw holds the winning
+    traceback strings (solve_sg)."""
+    from ..ops.dp_numpy import solve_sg
 
     len2 = a.len2
     max_sub = int(np.max(a.submat))
@@ -230,15 +370,10 @@ def windowed_exact_dp(a: Alignment, device_best: int, device_aec: int) -> None:
     if lo > 0 or device_aec < a.len1 - 1:
         a.align_mask[: a.len1] = 0
         a.align_mask[lo : device_aec + 1] = full_mask[lo : device_aec + 1]
-        dyn_prog(a)
-        best = max_sg_score(a)
-        if best == device_best and a.aec == device_aec:
-            find_align_begin(a)
-            if lo == 0 or a.abc > lo + 2:
-                a.align_mask[: a.len1] = full_mask
-                return
-        # fall back: restore and recompute full-width
+        solve_sg(a)
         a.align_mask[: a.len1] = full_mask
-    dyn_prog(a)
-    max_sg_score(a)
-    find_align_begin(a)
+        if a.best_score == device_best and a.aec == device_aec:
+            if lo == 0 or a.abc > lo + 2:
+                return
+        # fall back: recompute over the full (kmer-banded) width
+    solve_sg(a)

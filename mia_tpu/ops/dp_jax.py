@@ -30,7 +30,7 @@ _LOW = jnp.int32(-(2**30) - 2**29)  # below any reachable value, no overflow
 
 @functools.partial(jax.jit, static_argnames=("sg5",))
 def batch_last_row(
-    s1c: jax.Array,      # [W] int32 reference codes 0..4
+    s1c: jax.Array,      # [W] shared or [B, W] per-read reference codes 0..4
     mask: jax.Array,     # [B, W] bool open columns per read
     s2c: jax.Array,      # [B, L] int32 read codes (padded with 4)
     lengths: jax.Array,  # [B] int32 read lengths (>=1)
@@ -46,6 +46,7 @@ def batch_last_row(
     B, W = mask.shape
     L = s2c.shape[1]
     cols = jnp.arange(W, dtype=jnp.int32)
+    s1c2d = s1c if s1c.ndim == 2 else jnp.broadcast_to(s1c[None, :], (B, W))
 
     # row 0: plain substitution scores on open columns (depth 0 always,
     # src/mia.c:763-766)
@@ -54,7 +55,7 @@ def batch_last_row(
         s2c[:, 0][:, None, None],
         axis=2,
     )[:, :, 0]  # [B, 5]
-    cell0 = jnp.take_along_axis(sub0, jnp.broadcast_to(s1c[None, :], (B, W)), axis=1)
+    cell0 = jnp.take_along_axis(sub0, s1c2d, axis=1)
     row0 = jnp.where(mask, cell0, jnp.int32(HIM))
 
     snap0 = row0  # snapshot if length == 1
@@ -70,9 +71,7 @@ def batch_last_row(
         depth = depths[:, row]  # [B]
         subm = submat[depth]  # [B,5,5]
         row_sm = jnp.take_along_axis(subm, s2c[:, row][:, None, None], axis=2)[:, :, 0]
-        cell_sub = jnp.take_along_axis(
-            row_sm, jnp.broadcast_to(s1c[None, :], (B, W)), axis=1
-        )
+        cell_sub = jnp.take_along_axis(row_sm, s1c2d, axis=1)
 
         sg5_pen = jnp.int32(GOP + GEP * (row + 1)) if sg5 else jnp.int32(0)
 

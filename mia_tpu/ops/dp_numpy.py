@@ -79,6 +79,8 @@ def _load_native():
     try:
         lib = ctypes.CDLL(path)
         lib.mia_dp_fill.restype = None
+        if hasattr(lib, "mia_sg_window"):
+            lib.mia_sg_window.restype = ctypes.c_int32
     except (OSError, AttributeError):
         return None
     _NATIVE = lib
@@ -165,6 +167,8 @@ class Alignment:
     aec: int = 0
     aer: int = 0
     best_score: int = 0
+    # gapped (ref, frag) strings from the fused native path (solve_sg)
+    pw: Optional[tuple] = None
 
 
 def dyn_prog(a: Alignment) -> None:
@@ -482,6 +486,117 @@ def populate_pwaln_to_begin(a: Alignment) -> tuple[str, str]:
     ras.append(s1[col + off])
     fas.append(s2[row])
     return "".join(reversed(ras)), "".join(reversed(fas))
+
+
+_SG_BUFS = None
+
+
+def _sg_bufs():
+    global _SG_BUFS
+    if _SG_BUFS is None:
+        import ctypes
+
+        cap = 4 * (INITIAL_SG_CAP := 2 * (256 + 20000) + 16)
+        _SG_BUFS = (
+            ctypes.create_string_buffer(cap),
+            ctypes.create_string_buffer(cap),
+            np.zeros(4, dtype=np.int32),
+            cap,
+        )
+    return _SG_BUFS
+
+
+def _native_sg_window(a: Alignment, do_trace: bool) -> bool:
+    """One-FFI-call fill + argmax + begin walk (+ traceback strings) via
+    mia_sg_window; sets best_score/aec/aer/abc/abr (+ a.pw).  Returns False
+    when the native library or the band is unusable (caller falls back)."""
+    lib = _load_native()
+    full_len1, len2 = a.len1, a.len2
+    if lib is None or not hasattr(lib, "mia_sg_window") or len2 == 0 or full_len1 == 0:
+        return False
+    full_mask = (
+        a.align_mask[:full_len1].astype(bool)
+        if a.align_mask is not None
+        else np.ones(full_len1, dtype=bool)
+    )
+    open_cols = np.flatnonzero(full_mask)
+    if len(open_cols) == 0:
+        return False  # degenerate all-masked case: classic path handles it
+    import ctypes
+
+    win_lo = max(int(open_cols[0]) - 2, 0)
+    win_hi = int(open_cols[-1])
+    len1 = win_hi - win_lo + 1
+    a.col_off = win_lo
+
+    s1c_c = np.ascontiguousarray(a.s1c[win_lo : win_lo + len1], dtype=np.int8)
+    s2c_c = np.ascontiguousarray(a.s2c[:len2], dtype=np.int8)
+    mask_c = np.ascontiguousarray(full_mask[win_lo : win_lo + len1], dtype=np.uint8)
+    sm_c = np.ascontiguousarray(a.submat, dtype=np.int32)
+
+    if a.hp:
+        hpcl = np.ascontiguousarray(a.hpcl[win_lo : win_lo + len1], dtype=np.int32)
+        hpcs = np.ascontiguousarray(a.hpcs[win_lo : win_lo + len1], dtype=np.int32)
+        hprl = np.ascontiguousarray(a.hprl[:len2], dtype=np.int32)
+        hprs = np.ascontiguousarray(a.hprs[:len2], dtype=np.int32)
+        hp_args = (
+            hpcl.ctypes.data_as(ctypes.c_void_p),
+            hpcs.ctypes.data_as(ctypes.c_void_p),
+            hprl.ctypes.data_as(ctypes.c_void_p),
+            hprs.ctypes.data_as(ctypes.c_void_p),
+        )
+    else:
+        hp_args = (None, None, None, None)
+    seq1 = a.seq1[win_lo : win_lo + len1].encode("latin-1")
+    seq2 = a.seq2[:len2].encode("latin-1")
+
+    out_ref, out_frag, meta, cap = _sg_bufs()
+    if 2 * (len1 + len2) + 16 > cap:
+        return False
+    best = lib.mia_sg_window(
+        s1c_c.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(len1),
+        s2c_c.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(len2),
+        sm_c.ctypes.data_as(ctypes.c_void_p),
+        mask_c.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(1 if a.sg5 else 0),
+        ctypes.c_char_p(seq1),
+        ctypes.c_char_p(seq2),
+        *hp_args,
+        ctypes.c_int(win_lo),
+        ctypes.c_int(1 if do_trace else 0),
+        out_ref,
+        out_frag,
+        ctypes.c_int(cap),
+        meta.ctypes.data_as(ctypes.c_void_p),
+    )
+    a.best_score = int(best)
+    a.aec = int(meta[0]) + win_lo
+    a.aer = len2 - 1
+    a.abr = int(meta[1])
+    a.abc = int(meta[2]) + win_lo
+    if do_trace:
+        n = int(meta[3])
+        a.pw = (
+            out_ref.raw[:n].decode("latin-1"),
+            out_frag.raw[:n].decode("latin-1"),
+        )
+    else:
+        a.pw = None
+    return True
+
+
+def solve_sg(a: Alignment, do_trace: bool = True) -> None:
+    """Fill + last-row argmax + begin walk (+ traceback strings) with the
+    fastest available engine.  Sets a.best_score/aec/aer/abc/abr; when
+    ``do_trace``, a.pw holds the gapped (ref, frag) strings."""
+    if _native_sg_window(a, do_trace):
+        return
+    dyn_prog(a)
+    max_sg_score(a)
+    find_align_begin(a)
+    a.pw = populate_pwaln_to_begin(a) if do_trace else None
 
 
 def trim_argmax_last_col(a: Alignment) -> int:

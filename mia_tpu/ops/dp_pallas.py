@@ -36,7 +36,7 @@ def _prefix_max_lanes(x: jax.Array, W: int) -> jax.Array:
 
 
 def _dp_kernel(
-    s1c_ref,      # [1, W] int32
+    s1c_ref,      # [1, W] shared or [BB, W] per-read int32
     mask_ref,     # [BB, W] int32 (0/1)
     row_sm_ref,   # [BB, L, 5] int32 precomputed per-row substitution scores
     lengths_ref,  # [BB, 1] int32
@@ -48,18 +48,18 @@ def _dp_kernel(
 ):
     BB = mask_ref.shape[0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (BB, W), 1)
-    s1c = s1c_ref[0, :]
+    s1c = s1c_ref[...]  # [1, W] broadcasts against [BB, *]; [BB, W] is direct
     # masks stay int32 throughout: Mosaic cannot shift/pad i1 vectors
     mask_i = mask_ref[...]
     mask = mask_i != 0
     lengths = lengths_ref[...]  # [BB,1]
 
     def cell_sub_for(row):
-        # row_sm[b, row, s1c[w]] as five masked selects (VPU-friendly gather)
+        # row_sm[b, row, s1c[b, w]] as five masked selects (VPU-friendly gather)
         acc = jnp.zeros((BB, W), jnp.int32)
         for i in range(5):
             v = row_sm_ref[:, row, i][:, None]  # [BB,1]
-            acc = jnp.where(s1c[None, :] == i, v, acc)
+            acc = jnp.where(s1c == i, v, acc)
         return acc
 
     row0 = jnp.where(mask, cell_sub_for(0), jnp.int32(HIM))
@@ -107,7 +107,7 @@ def _dp_kernel(
 
 @functools.partial(jax.jit, static_argnames=("sg5", "block_b"))
 def pallas_last_row(
-    s1c: jax.Array,     # [W] int32
+    s1c: jax.Array,     # [W] shared or [B, W] per-read int32
     mask: jax.Array,    # [B, W] bool/int
     row_sm: jax.Array,  # [B, L, 5] int32
     lengths: jax.Array,  # [B] int32
@@ -115,17 +115,26 @@ def pallas_last_row(
     block_b: int = 8,
 ) -> jax.Array:
     """Pallas-call wrapper: grid over batch blocks; returns [B, W] int32 last
-    DP rows."""
+    DP rows.  ``s1c`` may be a single shared reference row or one reference
+    window per read (the banded pass-1 path)."""
     B, W = mask.shape
     L = row_sm.shape[1]
     assert B % block_b == 0, "pad the batch to a multiple of block_b"
     kernel = functools.partial(_dp_kernel, W=W, L=L, sg5=sg5)
+    if s1c.ndim == 1:
+        s1c_arg = s1c.reshape(1, W).astype(jnp.int32)
+        s1c_spec = pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    else:
+        s1c_arg = s1c.astype(jnp.int32)
+        s1c_spec = pl.BlockSpec(
+            (block_b, W), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, W), jnp.int32),
         grid=(B // block_b,),
         in_specs=[
-            pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            s1c_spec,
             pl.BlockSpec((block_b, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, L, 5), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -136,7 +145,7 @@ def pallas_last_row(
             transcendentals=0,
         ),
     )(
-        s1c.reshape(1, W).astype(jnp.int32),
+        s1c_arg,
         mask.astype(jnp.int32),
         row_sm.astype(jnp.int32),
         lengths.reshape(B, 1).astype(jnp.int32),

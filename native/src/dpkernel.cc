@@ -201,4 +201,63 @@ int32_t mia_dp_traceback(const int32_t* trace, int len1, int len2, int aer,
   return n;
 }
 
+// Fused fill + last-row argmax (earliest tie wins, src/mia.c:1278-1302) +
+// begin walk (src/mia.c:605-637) + optional gapped-string traceback, all in
+// one call: the per-read host path costs one FFI round-trip instead of four,
+// and the score/trace planes live in reusable thread-local buffers instead
+// of per-call numpy allocations.
+//
+// out_meta: [0]=aec (window-local), [1]=abr, [2]=abc (window-local),
+// [3]=alignment string length (0 when do_trace == 0).  Returns best score.
+int32_t mia_sg_window(const int8_t* s1c, int len1, const int8_t* s2c,
+                      int len2, const int32_t* submat, const uint8_t* mask,
+                      int sg5, const char* seq1, const char* seq2,
+                      const int32_t* hpcl, const int32_t* hpcs,
+                      const int32_t* hprl, const int32_t* hprs, int win_lo,
+                      int do_trace, char* out_ref, char* out_frag, int cap,
+                      int32_t* out_meta) {
+  static thread_local std::vector<int32_t> score_buf, trace_buf;
+  score_buf.resize((size_t)len1 * len2);
+  trace_buf.resize((size_t)len1 * len2);
+  mia_dp_fill(s1c, len1, s2c, len2, submat, mask, sg5, seq1, seq2, hpcl,
+              hpcs, hprl, hprs, win_lo, score_buf.data(), trace_buf.data());
+  const int32_t* last = score_buf.data() + (size_t)(len2 - 1) * len1;
+  int aec = 0;
+  int32_t best = last[0];
+  for (int c = 1; c < len1; ++c) {
+    if (last[c] > best) {
+      best = last[c];
+      aec = c;
+    }
+  }
+  out_meta[0] = aec;
+  if (do_trace) {
+    out_meta[3] =
+        mia_dp_traceback(trace_buf.data(), len1, len2, len2 - 1, aec, seq1,
+                         seq2, out_ref, out_frag, cap, &out_meta[1],
+                         &out_meta[2]);
+  } else {
+    int row = len2 - 1, col = aec;
+    const int32_t* tr = trace_buf.data();
+    while (tr[(size_t)row * len1 + col] != col &&
+           tr[(size_t)row * len1 + col] != -row) {
+      int32_t t = tr[(size_t)row * len1 + col];
+      if (t == 0) {
+        --row;
+        --col;
+      } else if (t < 0) {
+        row = -t;
+        --col;
+      } else {
+        col = t;
+        --row;
+      }
+    }
+    out_meta[1] = row;
+    out_meta[2] = col;
+    out_meta[3] = 0;
+  }
+  return best;
+}
+
 }  // extern "C"
