@@ -10,8 +10,18 @@ from ..constants import MAX_ID_LEN
 
 def parse_ids(path: str) -> set[str]:
     ids: set[str] = set()
-    with open(path, "rb") as fh:
-        data = fh.read()
+    try:
+        with open(path, "rb") as fh:
+            data = fh.read()
+    except OSError as e:
+        # fileOpen (src/io.c:918-927) prints the name + perror; the reference
+        # then dereferences the NULL handle (a crash) — we exit cleanly after
+        # emitting the same stderr prefix.
+        import sys
+
+        print(path, file=sys.stderr)
+        print(f"Cannot open file: {e.strerror}", file=sys.stderr)
+        raise SystemExit(1)
     # only newline-terminated lines count (a trailing partial line is dropped,
     # matching the reference's per-'\n' commit)
     for line in data.split(b"\n")[:-1]:
