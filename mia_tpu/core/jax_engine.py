@@ -70,6 +70,10 @@ class Pass1Scorer:
         import jax
         import jax.numpy as jnp
 
+        from ..utils.jaxcfg import setup_jax_cache
+
+        setup_jax_cache()
+
         self.len1 = len1
         # pad the reference width to the lane quantum; padded columns stay
         # masked (HIM) so results are unchanged
@@ -154,8 +158,6 @@ class Pass1Scorer:
         from ..ops.dp_jax import batch_last_row
 
         use_pallas = self._use_pallas
-        fw_pad = self._fw_pad
-        rc_pad = self._rc_pad
 
         def expand_mask_local(iv):  # [B, K, 2] window-local -> [B, WIN_W]
             cols = jnp.arange(WIN_W, dtype=jnp.int32)[None, None, :]
@@ -163,8 +165,12 @@ class Pass1Scorer:
             hi = iv[:, :, 1][:, :, None]
             return ((cols >= lo) & (cols < hi)).any(axis=1)
 
+        # NOTE: the padded reference strands are jit ARGUMENTS, not closure
+        # captures — a closure-captured device array becomes an HLO constant,
+        # which lowering materialises on the HOST; over a tunneled device
+        # link that fetch dominated the whole assembly (~145 s per strand).
         @functools.partial(jax.jit, static_argnames=())
-        def score_win(fw_starts, rc_starts, fw_ivl, rc_ivl, payload, lengths):
+        def score_win(fw_pad, rc_pad, fw_starts, rc_starts, fw_ivl, rc_ivl, payload, lengths):
             def gather(ref, starts):
                 # one fused gather: [B, WIN_W] indices into the padded ref
                 idx = starts[:, None] + jnp.arange(WIN_W, dtype=jnp.int32)[None, :]
@@ -276,6 +282,8 @@ class Pass1Scorer:
         else:
             payload = (jnp.asarray(s2c), jnp.asarray(depths))
         outs_win = self._score_win_fn(
+            self._fw_pad,
+            self._rc_pad,
             jnp.asarray(fw_starts),
             jnp.asarray(rc_starts),
             jnp.asarray(fw_ivl),
