@@ -82,6 +82,11 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             maln.ref.rcseq[: maln.ref.wrap_seq_len], cfg.kmer_filt_len, cfg.soft_mask
         )
 
+    # raw (possibly soft-masked) strands for the native batch engine's own
+    # k-mer index build; captured before the uppercase below
+    raw_fw_strand = maln.ref.seq
+    raw_rc_strand = maln.ref.rcseq
+
     # k-mer tables built; uppercase the reference from here on
     maln.ref.seq = (
         maln.ref.seq[: maln.ref.wrap_seq_len].upper()
@@ -125,19 +130,121 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     # device pass-1 engine: score batches on the TPU, traceback on host
     use_jax = cfg.engine == "jax" and not cfg.hp_special
     scorer = None
+    bhost = None
     pending: list = []
     if use_jax:
-        from .jax_engine import Pass1Scorer
+        from .hostbatch import BatchHost
+        from .jax_engine import MAX_INTERVALS, WIN_W, Pass1Scorer
 
         scorer = Pass1Scorer(
             fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat
+        )
+        # native batched prepare/finish engine; the raw (pre-uppercase)
+        # strands drive the k-mer index exactly like populate_kpa runs
+        # before make_ref_upper (src/mia_main.c:659-676)
+        bhost = BatchHost.create(
+            raw_fw_strand,
+            raw_rc_strand,
+            ref_len1,
+            ancsubmat,
+            None,
+            cfg.kmer_filt_len,
+            cfg.soft_mask,
+            WIN_W,
+            MAX_INTERVALS,
         )
 
     # double-buffered device pipeline: while the TPU scores batch i, the
     # host merges batch i-1 (read order — and therefore output — unchanged)
     inflight: list = []
 
-    def _drain_oldest() -> None:
+    def _host_align_one(f) -> None:
+        """Per-read host fallback (mask too fragmented for the device)."""
+        frag_len = f.trim_point + 1 if f.trimmed else f.seq_len
+        new_kmer_filter(
+            f.seq,
+            frag_len,
+            fkpa,
+            rkpa,
+            cfg.kmer_filt_len,
+            fw_align.align_mask,
+            rc_align.align_mask,
+            fw_align.len1,
+            rc_align.len1,
+        )
+        sg_align(maln, f, fsdb, fw_align, rc_align)
+
+    def _drain_oldest_native() -> None:
+        from ..constants import FIRST_ROUND_SCORE_CUTOFF
+        from .driver import finish_alignment
+        from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP
+
+        records, handle, prep = inflight.pop(0)
+        arena, off, lens, fw_ivg, rc_ivg, flags = prep
+        fb, fa, rb, ra = scorer.collect_arrays(handle)
+        # select winners (strand, gate) -> one native finish call
+        win: list[int] = []
+        strand = []
+        bests = []
+        aecs = []
+        for i in range(len(records)):
+            fl = flags[i]
+            if fl & (FLAG_SKIP | FLAG_HOST_ONLY):
+                continue
+            rcwin = not (fb[i] > rb[i])
+            best = int(rb[i] if rcwin else fb[i])
+            if best < FIRST_ROUND_SCORE_CUTOFF and not maln.distant_ref:
+                # gate rejects: no traceback needed (src/map_align.c:1614)
+                records[i].score = best
+                flags[i] |= FLAG_SKIP
+                continue
+            win.append(i)
+            strand.append(rcwin)
+            bests.append(best)
+            aecs.append(int(ra[i] if rcwin else fa[i]))
+        if win:
+            widx = np.asarray(win)
+            strand_a = np.asarray(strand, np.uint8)
+            ivg = np.where(
+                strand_a[:, None, None] == 1, rc_ivg[widx], fw_ivg[widx]
+            )
+            meta, ref_arena, frag_arena = bhost.finish(
+                arena,
+                off[widx],
+                lens[widx],
+                strand_a,
+                np.zeros(len(win), np.uint8),
+                np.asarray(bests, np.int32),
+                np.asarray(aecs, np.int32),
+                ivg,
+            )
+        cap = bhost.TRACE_CAP
+        w = 0
+        for i, f in enumerate(records):
+            fl = flags[i]
+            if fl & FLAG_SKIP:
+                continue
+            if fl & FLAG_HOST_ONLY:
+                _host_align_one(f)
+                continue
+            n = int(meta[w, 3])
+            pw = (
+                ref_arena[w * cap : w * cap + n].decode("latin-1"),
+                frag_arena[w * cap : w * cap + n].decode("latin-1"),
+            )
+            finish_alignment(
+                maln,
+                f,
+                fsdb,
+                bool(strand[w]),
+                int(meta[w, 0]),
+                int(meta[w, 1]),
+                int(meta[w, 2]),
+                pw,
+            )
+            w += 1
+
+    def _drain_oldest_legacy() -> None:
         records, handle = inflight.pop(0)
         results = scorer.collect(handle)
         for (f, fm, rm), res in zip(records, results):
@@ -146,19 +253,49 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             sg_align(maln, f, fsdb, fw_align, rc_align, precomputed=res)
 
     def flush_pending(final: bool = False) -> None:
+        from .jax_engine import _L_BUCKETS
+
         if pending:
             records = pending[:]
             pending.clear()
-            reads = [
-                (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
-                for f, _, _ in records
-            ]
-            handle = scorer.dispatch(
-                reads, [m for _, m, _ in records], [m for _, _, m in records]
-            )
-            inflight.append((records, handle))
-        while len(inflight) > (0 if final else 1):
-            _drain_oldest()
+            if bhost is not None:
+                reads = [
+                    (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
+                    for f in records
+                ]
+                arena, off, lens = bhost.pack_reads(reads)
+                L = max(int(lens.max()) if len(lens) else 1, 1)
+                for bucket in _L_BUCKETS:
+                    if L <= bucket:
+                        L = bucket
+                        break
+                from .jax_engine import MAX_INTERVALS
+
+                s2c, fw_ws, rc_ws, fw_ivg, rc_ivg, flags = bhost.prepare(
+                    arena, off, lens, L, MAX_INTERVALS
+                )
+                handle = scorer.dispatch_packed(
+                    s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags
+                )
+                inflight.append(
+                    (records, handle, (arena, off[:-1], lens, fw_ivg, rc_ivg, flags))
+                )
+            else:
+                reads = [
+                    (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
+                    for f, _, _ in records
+                ]
+                handle = scorer.dispatch(
+                    reads, [m for _, m, _ in records], [m for _, _, m in records]
+                )
+                inflight.append((records, handle))
+        # keep up to 2 batches in flight: the device/tunnel works on batch
+        # i and i+1 while the host merges batch i-1
+        while len(inflight) > (0 if final else 2):
+            if bhost is not None:
+                _drain_oldest_native()
+            else:
+                _drain_oldest_legacy()
 
     for frag_seq in iter_frag_seqs(cfg.frag_fn):
         seen += 1
@@ -167,36 +304,46 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 trim_frag(frag_seq, cfg.adapter, adapt_align)
             else:
                 frag_seq.trimmed = False
-            frag_len = frag_seq.trim_point + 1 if frag_seq.trimmed else frag_seq.seq_len
-            if new_kmer_filter(
-                frag_seq.seq,
-                frag_len,
-                fkpa,
-                rkpa,
-                cfg.kmer_filt_len,
-                fw_align.align_mask,
-                rc_align.align_mask,
-                fw_align.len1,
-                rc_align.len1,
-            ):
-                if use_jax:
-                    pending.append(
-                        (
-                            frag_seq,
-                            fw_align.align_mask[: fw_align.len1].copy(),
-                            rc_align.align_mask[: rc_align.len1].copy(),
+            if bhost is not None:
+                # batched path: the native engine applies the k-mer filter
+                pending.append(frag_seq)
+                if len(pending) >= scorer.batch:
+                    flush_pending()
+            else:
+                frag_len = (
+                    frag_seq.trim_point + 1 if frag_seq.trimmed else frag_seq.seq_len
+                )
+                if new_kmer_filter(
+                    frag_seq.seq,
+                    frag_len,
+                    fkpa,
+                    rkpa,
+                    cfg.kmer_filt_len,
+                    fw_align.align_mask,
+                    rc_align.align_mask,
+                    fw_align.len1,
+                    rc_align.len1,
+                ):
+                    if use_jax:
+                        pending.append(
+                            (
+                                frag_seq,
+                                fw_align.align_mask[: fw_align.len1].copy(),
+                                rc_align.align_mask[: rc_align.len1].copy(),
+                            )
                         )
-                    )
-                    if len(pending) >= scorer.batch:
-                        flush_pending()
-                else:
-                    sg_align(maln, frag_seq, fsdb, fw_align, rc_align)
+                        if len(pending) >= scorer.batch:
+                            flush_pending()
+                    else:
+                        sg_align(maln, frag_seq, fsdb, fw_align, rc_align)
         if seen % 1000 == 0:
             sys.stderr.write(".")
         if seen % 80000 == 0:
             sys.stderr.write("\n")
     if use_jax:
         flush_pending(final=True)
+    if bhost is not None:
+        bhost.close()
 
     pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
     sys.stderr.write("\n")

@@ -133,34 +133,53 @@ def sg_align(
         solve_sg(rc_a)
         best_a = fw_a if fw_a.best_score > rc_a.best_score else rc_a
 
+    pw = best_a.pw if best_a.pw is not None else populate_pwaln_to_begin(best_a)
+    finish_alignment(
+        maln, fs, fsdb, best_a.rc, best_a.best_score, best_a.abc, best_a.aec, pw
+    )
+    return True
+
+
+def finish_alignment(
+    maln: MapAlignment,
+    fs: FragSeq,
+    fsdb: FSDB,
+    rc: bool,
+    best_score: int,
+    abc: int,
+    aec: int,
+    pw: tuple[str, str],
+) -> None:
+    """Merge one aligned read into the maln + FSDB given its winning strand's
+    traceback (the bookkeeping half of sg_align, src/map_align.c:1560-1665).
+    Shared between the per-read host path and the batched native/device path."""
+    rs = maln.ref
     front = PWAlnFrag()
     front.ref_id = rs.id
     front.ref_desc = rs.desc
     front.frag_id = fs.id
     front.frag_desc = fs.desc
-    front.ref_seq, front.frag_seq = (
-        best_a.pw if best_a.pw is not None else populate_pwaln_to_begin(best_a)
-    )
-    front.start = best_a.abc
-    front.end = best_a.aec
+    front.ref_seq, front.frag_seq = pw
+    front.start = abc
+    front.end = aec
     front.trimmed = fs.trimmed
     front.segment = "a"
-    front.score = best_a.best_score
-    fs.score = best_a.best_score
+    front.score = best_score
+    fs.score = best_score
 
-    if best_a.rc:
+    if rc:
         revcom_PWAF(front)
         front.revcom = True
         fs.rc = True
-        front.start = c2rcc(best_a.aec, rs.seq_len)
-        front.end = c2rcc(best_a.abc, rs.seq_len)
-        fs.as_ = c2rcc(best_a.aec, rs.seq_len)
-        fs.ae = c2rcc(best_a.abc, rs.seq_len)
+        front.start = c2rcc(aec, rs.seq_len)
+        front.end = c2rcc(abc, rs.seq_len)
+        fs.as_ = c2rcc(aec, rs.seq_len)
+        fs.ae = c2rcc(abc, rs.seq_len)
     else:
         front.revcom = False
         fs.rc = False
-        fs.as_ = best_a.abc
-        fs.ae = best_a.aec
+        fs.as_ = abc
+        fs.ae = aec
     if fs.as_ > fs.ae:
         # wrapped rc alignment: keep ae beyond seq_len for the next round
         # (src/map_align.c:1600-1604)
@@ -181,7 +200,6 @@ def sg_align(
         fs.num_inputs = 1
         fs.strand_known = fs.score > FIRST_ROUND_SCORE_CUTOFF
         add_virgin_fs2fsdb(fs, fsdb)
-    return True
 
 
 def reiterate_assembly(

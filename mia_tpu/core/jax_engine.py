@@ -29,7 +29,7 @@ from ..constants import GEP
 from ..ops.dp_numpy import Alignment, dyn_prog, max_sg_score
 from ..utils.encoding import encode_seq
 
-SCORE_BATCH = 512
+SCORE_BATCH = 2048
 MAX_INTERVALS = 16
 _L_BUCKETS = (32, 64, 96, 128, 192, 256)
 # per-read reference window for the banded scorer; strands whose k-mer band
@@ -320,6 +320,122 @@ class Pass1Scorer:
             )
             wide_handles.append((outs, chunk))
         return (outs_win, fw_starts, rc_starts, wide_handles, host_only, n)
+
+    def dispatch_packed(self, s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags):
+        """Enqueue a batch already packed by the native host engine
+        (core/hostbatch.py: BatchHost.prepare).  Same double-buffer contract
+        as :meth:`dispatch`; results come back via :meth:`collect_arrays`.
+
+        flags: per-read FLAG_SKIP / FLAG_HOST_ONLY / FLAG_WIDE bits (reads
+        flagged skip/host-only get garbage scores the caller must ignore)."""
+        import jax.numpy as jnp
+
+        from ..ops.dp_jax import depths_for
+        from ..ops.dp_pallas import make_row_sm
+        from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP, FLAG_WIDE
+
+        n = len(lens)
+        if n == 0:
+            return (None, None, None, None, None, 0)
+        B = self.batch
+        assert n <= B
+        L = s2c.shape[1]
+
+        def pad(a, fill=0):
+            if n == B:
+                return np.ascontiguousarray(a)
+            out = np.full((B,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return out
+
+        s2c_p = pad(s2c, 4)
+        lengths = pad(np.maximum(lens.astype(np.int32), 1), 1)
+        fw_ws_p = pad(fw_ws.astype(np.int32))
+        rc_ws_p = pad(rc_ws.astype(np.int32))
+
+        inactive = (flags & (FLAG_SKIP | FLAG_HOST_ONLY)) != 0
+        wide_m = ((flags & FLAG_WIDE) != 0) & ~inactive
+        windowed = ~(wide_m | inactive)
+
+        def local_iv(ivg, ws):
+            used = ivg[:, :, 1] > 0
+            loc = np.where(
+                (used & windowed[:n, None])[:, :, None], ivg - ws[:n, None, None], 0
+            ).astype(np.int32)
+            return pad(loc)
+
+        fw_ivl = local_iv(fw_ivg, fw_ws)
+        rc_ivl = local_iv(rc_ivg, rc_ws)
+        # windowed dispatch ignores starts of wide/inactive reads
+        fw_ws_p[:n][~windowed[:n]] = 0
+        rc_ws_p[:n][~windowed[:n]] = 0
+
+        depths = depths_for(lengths, L)
+        if self._use_pallas:
+            row_sm = make_row_sm(self.submat, s2c_p, depths).astype(np.int32)
+            payload = jnp.asarray(row_sm)
+        else:
+            payload = (jnp.asarray(s2c_p), jnp.asarray(depths))
+        outs_win = self._score_win_fn(
+            self._fw_pad,
+            self._rc_pad,
+            jnp.asarray(fw_ws_p),
+            jnp.asarray(rc_ws_p),
+            jnp.asarray(fw_ivl),
+            jnp.asarray(rc_ivl),
+            payload,
+            jnp.asarray(lengths),
+        )
+        wide = list(np.flatnonzero(wide_m[:n]))
+        K = fw_ivg.shape[1]
+        wide_handles = []
+        for i in range(0, len(wide), FULL_BATCH):
+            chunk = wide[i : i + FULL_BATCH]
+            m = len(chunk)
+            fwi = np.zeros((FULL_BATCH, K, 2), np.int32)
+            rci = np.zeros((FULL_BATCH, K, 2), np.int32)
+            fwi[:m] = fw_ivg[chunk]
+            rci[:m] = rc_ivg[chunk]
+            ln_w = np.ones(FULL_BATCH, np.int32)
+            ln_w[:m] = lengths[chunk]
+            if self._use_pallas:
+                pay_w = np.zeros((FULL_BATCH,) + row_sm.shape[1:], np.int32)
+                pay_w[:m] = row_sm[chunk]
+                pay_w = jnp.asarray(pay_w)
+            else:
+                s2c_w = np.full((FULL_BATCH, L), 4, np.int32)
+                s2c_w[:m] = s2c_p[chunk]
+                d_w = depths_for(ln_w, L)
+                pay_w = (jnp.asarray(s2c_w), jnp.asarray(d_w))
+            outs = self._score_fn(
+                self._fw,
+                self._rc,
+                jnp.asarray(fwi),
+                jnp.asarray(rci),
+                pay_w,
+                jnp.asarray(ln_w),
+            )
+            wide_handles.append((outs, chunk))
+        return (outs_win, fw_ws_p, rc_ws_p, wide_handles, None, n)
+
+    @staticmethod
+    def collect_arrays(handle):
+        """Materialise a packed batch: (fb, fa, rb, ra) int64 arrays [n]."""
+        outs_win, fw_starts, rc_starts, wide_handles, _, n = handle
+        arr = np.asarray(outs_win)  # [2, 2B]
+        B = len(fw_starts)
+        fb = arr[0, :B].astype(np.int64)
+        fa = (arr[1, :B] + fw_starts).astype(np.int64)
+        rb = arr[0, B:].astype(np.int64)
+        ra = (arr[1, B:] + rc_starts).astype(np.int64)
+        for outs, chunk in wide_handles:
+            w = np.asarray(outs)  # [4, FULL_BATCH]
+            m = len(chunk)
+            fb[chunk] = w[0, :m]
+            fa[chunk] = w[1, :m]
+            rb[chunk] = w[2, :m]
+            ra[chunk] = w[3, :m]
+        return fb[:n], fa[:n], rb[:n], ra[:n]
 
     @staticmethod
     def collect(handle):
