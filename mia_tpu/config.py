@@ -36,6 +36,7 @@ class MiaConfig:
     ids_file: Optional[str] = None           # -I
     make_fastq: bool = False                 # -q
     fastq_out_fn: str = ""
-    # engine selection: "numpy" = exact host path, "jax" = batched device
+    # engine selection: "native" = threaded batched C++ host engine (default),
+    # "numpy" = exact per-read host path, "jax" = batched device scoring
     # scoring with host traceback (same outputs)
-    engine: str = "numpy"
+    engine: str = "native"

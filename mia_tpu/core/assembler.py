@@ -127,36 +127,47 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     fw_align.submat = ancsubmat
     rc_align.submat = ancsubmat
 
-    # device pass-1 engine: score batches on the TPU, traceback on host
+    # engine selection for pass 1:
+    #   "native" (default) — fully-native batched solver (k-mer filter +
+    #       banded fw/rc DP + traceback in one threaded FFI call per batch)
+    #   "jax"    — score batches on the TPU, traceback on host
+    #   "numpy"  — exact per-read host path
     use_jax = cfg.engine == "jax" and not cfg.hp_special
+    use_native = cfg.engine == "native" and not cfg.hp_special
     scorer = None
     bhost = None
     pending: list = []
-    if use_jax:
+    if use_jax or use_native:
         from .hostbatch import BatchHost
-        from .jax_engine import MAX_INTERVALS, WIN_W, Pass1Scorer
+        from .jax_engine import MAX_INTERVALS, WIN_W
 
-        scorer = Pass1Scorer(
-            fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat
-        )
-        # native batched prepare/finish engine; the raw (pre-uppercase)
-        # strands drive the k-mer index exactly like populate_kpa runs
-        # before make_ref_upper (src/mia_main.c:659-676)
+        # native batched engine; the raw (pre-uppercase) strands drive the
+        # k-mer index exactly like populate_kpa runs before make_ref_upper
+        # (src/mia_main.c:659-676)
         bhost = BatchHost.create(
             raw_fw_strand,
             raw_rc_strand,
             ref_len1,
             ancsubmat,
             None,
-            cfg.kmer_filt_len,
+            cfg.kmer_filt_len if cfg.kmer_filt_len > 0 else -1,
             cfg.soft_mask,
             WIN_W,
             MAX_INTERVALS,
+        )
+        if bhost is None:
+            use_native = False  # no native lib: exact per-read path
+    if use_jax:
+        from .jax_engine import Pass1Scorer
+
+        scorer = Pass1Scorer(
+            fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat
         )
 
     # double-buffered device pipeline: while the TPU scores batch i, the
     # host merges batch i-1 (read order — and therefore output — unchanged)
     inflight: list = []
+    NATIVE_BATCH = 4096
 
     def _host_align_one(f) -> None:
         """Per-read host fallback (mask too fragmented for the device)."""
@@ -244,6 +255,65 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             )
             w += 1
 
+    def _flush_native() -> None:
+        """Fully-native batched pass 1: one threaded FFI call does k-mer
+        filter + banded fw/rc DP + strand pick + gate + traceback for the
+        whole batch; Python only merges the results (in read order)."""
+        from .driver import finish_alignment
+        from .hostbatch import (
+            STATUS_GATED,
+            STATUS_HOST_FALLBACK,
+            STATUS_NO_KMER,
+        )
+
+        records = pending[:]
+        pending.clear()
+        if not records:
+            return
+        reads = [
+            (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
+            for f in records
+        ]
+        arena, off, lens = bhost.pack_reads(reads)
+        meta, ref_arena, frag_arena = bhost.solve_pass1(
+            arena, off[:-1], lens, maln.distant_ref
+        )
+        cap = bhost.TRACE_CAP
+        # wide second pass: reads whose winning window outgrows the default
+        # traceback arena (saturated k-mer bands) re-solve with a full-width
+        # arena — still batched, still native
+        wide: dict[int, tuple] = {}
+        fb_idx = [i for i in range(len(records)) if meta[i, 0] == STATUS_HOST_FALLBACK]
+        if fb_idx:
+            sub = [reads[i] for i in fb_idx]
+            a2, o2, l2 = bhost.pack_reads(sub)
+            wcap = bhost.wide_cap
+            m2, r2, f2 = bhost.solve_pass1(
+                a2, o2[:-1], l2, maln.distant_ref, cap=wcap
+            )
+            for j, i in enumerate(fb_idx):
+                wide[i] = (m2[j], r2[j * wcap : (j + 1) * wcap], f2[j * wcap : (j + 1) * wcap])
+        for i, f in enumerate(records):
+            m = meta[i]
+            ra = ref_arena[i * cap : (i + 1) * cap]
+            fa = frag_arena[i * cap : (i + 1) * cap]
+            if m[0] == STATUS_HOST_FALLBACK and i in wide:
+                m, ra, fa = wide[i]
+            st = int(m[0])
+            if st == STATUS_NO_KMER:
+                continue
+            if st == STATUS_GATED:
+                f.score = int(m[2])
+                continue
+            if st == STATUS_HOST_FALLBACK:
+                _host_align_one(f)
+                continue
+            n = int(m[5])
+            pw = (ra[:n].decode("latin-1"), fa[:n].decode("latin-1"))
+            finish_alignment(
+                maln, f, fsdb, bool(m[1]), int(m[2]), int(m[3]), int(m[4]), pw
+            )
+
     def _drain_oldest_legacy() -> None:
         records, handle = inflight.pop(0)
         results = scorer.collect(handle)
@@ -304,8 +374,13 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 trim_frag(frag_seq, cfg.adapter, adapt_align)
             else:
                 frag_seq.trimmed = False
-            if bhost is not None:
-                # batched path: the native engine applies the k-mer filter
+            if use_native:
+                pending.append(frag_seq)
+                if len(pending) >= NATIVE_BATCH:
+                    _flush_native()
+            elif bhost is not None:
+                # batched device path: the native engine applies the k-mer
+                # filter, the TPU scores, the native engine tracebacks
                 pending.append(frag_seq)
                 if len(pending) >= scorer.batch:
                     flush_pending()
@@ -340,7 +415,9 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             sys.stderr.write(".")
         if seen % 80000 == 0:
             sys.stderr.write("\n")
-    if use_jax:
+    if use_native:
+        _flush_native()
+    elif use_jax:
         flush_pending(final=True)
     if bhost is not None:
         bhost.close()

@@ -242,91 +242,182 @@ def reiterate_assembly(
         asp.ins = {}
     maln.num_aln_seqs = 0
 
-    for fs in fsdb.fss:
-        # distant-ref + unknown strand: full-length fw+rc re-probe
-        if maln.distant_ref and not fs.strand_known and iter_num > 1:
-            a.submat = ancsubmat
-            set_seq1(a, ref.seq[: ref.wrap_seq_len])
-            set_seq2(a, fs.seq)
-            if a.hp:
-                set_hp_rows(a)
-                set_hp_cols(a)
-            solve_sg(a, do_trace=False)
-            max_score = a.best_score
-            if max_score > FIRST_ROUND_SCORE_CUTOFF:
-                fs.strand_known = True
-                fs.rc = False
-                fs.as_ = a.abc
-                fs.ae = a.aec
-                fs.score = max_score
+    def _reprobe(fs: FragSeq) -> None:
+        """Distant-ref + unknown strand: full-length fw+rc re-probe
+        (src/mia_main.c:120-174)."""
+        a.submat = ancsubmat
+        set_seq1(a, ref.seq[: ref.wrap_seq_len])
+        set_seq2(a, fs.seq)
+        if a.hp:
+            set_hp_rows(a)
+            set_hp_cols(a)
+        solve_sg(a, do_trace=False)
+        max_score = a.best_score
+        if max_score > FIRST_ROUND_SCORE_CUTOFF:
+            fs.strand_known = True
+            fs.rc = False
+            fs.as_ = a.abc
+            fs.ae = a.aec
+            fs.score = max_score
 
-            a.submat = rcancsubmat
-            tmp_rc = revcom(fs.seq)
-            set_seq2(a, tmp_rc, a.len2)
-            if a.hp:
-                set_hp_rows(a)
-                set_hp_cols(a)
-            solve_sg(a, do_trace=False)
-            max_score = a.best_score
-            if max_score > FIRST_ROUND_SCORE_CUTOFF and max_score > fs.score:
-                fs.strand_known = True
-                fs.rc = True
-                fs.as_ = a.abc
-                fs.ae = a.aec
-                fs.score = max_score
-                fs.seq = tmp_rc
+        a.submat = rcancsubmat
+        tmp_rc = revcom(fs.seq)
+        set_seq2(a, tmp_rc, a.len2)
+        if a.hp:
+            set_hp_rows(a)
+            set_hp_cols(a)
+        solve_sg(a, do_trace=False)
+        max_score = a.best_score
+        if max_score > FIRST_ROUND_SCORE_CUTOFF and max_score > fs.score:
+            fs.strand_known = True
+            fs.rc = True
+            fs.as_ = a.abc
+            fs.ae = a.aec
+            fs.score = max_score
+            fs.seq = tmp_rc
+
+    def _window(fs: FragSeq, len2: int) -> tuple[int, int]:
+        """[ref_start, ref_end) realignment window (src/mia_main.c:191-212)."""
+        ref_start = max(fs.as_ - REALIGN_BUFFER, 0)
+        if (fs.ae + REALIGN_BUFFER + 1) > ref.wrap_seq_len:
+            ref_end = ref.wrap_seq_len
+        else:
+            ref_end = fs.ae + REALIGN_BUFFER
+        if (ref_start + len2) > ref_end:
+            ref_start = 0
+            ref_end = ref.wrap_seq_len
+        return ref_start, ref_end
+
+    def _merge_front(
+        fs: FragSeq, best: int, abc: int, aec: int, pw: tuple[str, str]
+    ) -> None:
+        """Merge one realigned read (abc/aec in global reference coords;
+        the bookkeeping half of the loop body, src/mia_main.c:236-276)."""
+        front = PWAlnFrag()
+        front.ref_seq, front.frag_seq = pw
+        front.ref_id = ref.id
+        front.ref_desc = ref.desc
+        front.frag_id = fs.id
+        front.frag_desc = fs.desc
+        front.trimmed = fs.trimmed
+        front.revcom = fs.rc
+        front.num_inputs = fs.num_inputs
+        front.segment = "a"
+        front.score = best
+        front.start = abc
+        front.end = aec
+
+        fs.as_ = abc
+        fs.ae = aec
+        fs.unique_best = True
+        fs.score = best
+
+        if front.end > ref.seq_len:
+            front.end = front.end - ref.seq_len
+
+        if front.start > front.end:
+            back = split_pwaln(front, ref.seq_len)
+            fs.front_asp = merge_pwaln_into_maln(front, maln)
+            fs.back_asp = merge_pwaln_into_maln(back, maln)
+        else:
+            fs.front_asp = merge_pwaln_into_maln(front, maln)
+            # reference quirk: reiterate does NOT clear back_asp here
+            # (src/mia_main.c:273-276, unlike sg_align's else branch), so
+            # a read split in pass 1 but not in this iteration keeps a
+            # stale back_asp aliasing another slot — and cull will emit
+            # that slot's record twice.  Preserved for byte parity.
+
+    def _python_realign(fs: FragSeq) -> None:
+        """Per-read window realignment on the exact host path."""
+        a.submat = rcancsubmat if fs.rc else ancsubmat
+        set_seq2(a, fs.seq)
+        ref_start, ref_end = _window(fs, a.len2)
+        set_seq1(a, ref.seq[ref_start:ref_end])
+        if a.hp:
+            set_hp_rows(a)
+            set_hp_cols(a)
+        solve_sg(a)
+        pw = a.pw if a.pw is not None else populate_pwaln_to_begin(a)
+        _merge_front(fs, a.best_score, a.abc + ref_start, a.aec + ref_start, pw)
+
+    # batched native realignment: one threaded FFI call per chunk does the
+    # window DP + traceback for every strand-known read; the merge
+    # bookkeeping below then runs in FSDB order as before
+    native_results: dict[int, tuple] = {}
+    reprobed = False
+    if not a.hp:
+        from .hostbatch import STATUS_OK, BatchHost
+
+        bh = BatchHost.create(
+            ref.seq[: ref.wrap_seq_len],
+            ref.seq[: ref.wrap_seq_len],
+            ref.wrap_seq_len,
+            ancsubmat,
+            rcancsubmat,
+            -1,
+            False,
+            0,
+            0,
+            upper=False,
+        )
+        if bh is not None:
+            # re-probes first: they can set strand_known (and flip fs.seq)
+            if maln.distant_ref and iter_num > 1:
+                for fs in fsdb.fss:
+                    if not fs.strand_known:
+                        _reprobe(fs)
+                reprobed = True
+            # window sizes are known up front: group reads by whether their
+            # traceback fits the default arena, solve each group batched
+            narrow: list = []
+            wide: list = []
+            for fs in fsdb.fss:
+                if not fs.strand_known:
+                    continue
+                len2 = len(fs.seq)
+                lo, hi = _window(fs, len2)
+                job = (fs, lo, hi)
+                if (hi - lo) + len2 + 2 > bh.TRACE_CAP:
+                    wide.append(job)
+                else:
+                    narrow.append(job)
+            CHUNK = 8192
+            for jobs, cap in ((narrow, bh.TRACE_CAP), (wide, bh.wide_cap)):
+                for c0 in range(0, len(jobs), CHUNK):
+                    chunk = jobs[c0 : c0 + CHUNK]
+                    arena, off, lens = bh.pack_reads([fs.seq for fs, _, _ in chunk])
+                    wlo = np.fromiter((lo for _, lo, _ in chunk), np.int32, len(chunk))
+                    whi = np.fromiter((hi for _, _, hi in chunk), np.int32, len(chunk))
+                    smidx = np.fromiter(
+                        (1 if fs.rc else 0 for fs, _, _ in chunk), np.uint8, len(chunk)
+                    )
+                    meta, ref_a, frag_a = bh.solve_rei(
+                        arena, off[:-1], lens, smidx, wlo, whi, cap=cap
+                    )
+                    for j, (fs, _, _) in enumerate(chunk):
+                        if meta[j, 0] != STATUS_OK:
+                            continue  # falls back to the per-read path below
+                        n = int(meta[j, 4])
+                        native_results[id(fs)] = (
+                            int(meta[j, 1]),
+                            int(meta[j, 2]),
+                            int(meta[j, 3]),
+                            ref_a[j * cap : j * cap + n],
+                            frag_a[j * cap : j * cap + n],
+                        )
+            bh.close()
+
+    for fs in fsdb.fss:
+        if maln.distant_ref and not fs.strand_known and iter_num > 1 and not reprobed:
+            _reprobe(fs)
 
         if fs.strand_known:
-            a.submat = rcancsubmat if fs.rc else ancsubmat
-            set_seq2(a, fs.seq)
-
-            ref_start = max(fs.as_ - REALIGN_BUFFER, 0)
-            if (fs.ae + REALIGN_BUFFER + 1) > ref.wrap_seq_len:
-                ref_end = ref.wrap_seq_len
+            res = native_results.get(id(fs))
+            if res is not None:
+                best, abc, aec, rb, fb = res
+                _merge_front(
+                    fs, best, abc, aec,
+                    (rb.decode("latin-1"), fb.decode("latin-1")),
+                )
             else:
-                ref_end = fs.ae + REALIGN_BUFFER
-            if (ref_start + a.len2) > ref_end:
-                ref_start = 0
-                ref_end = ref.wrap_seq_len
-
-            set_seq1(a, ref.seq[ref_start:ref_end])
-            if a.hp:
-                set_hp_rows(a)
-                set_hp_cols(a)
-            solve_sg(a)
-
-            front = PWAlnFrag()
-            front.ref_seq, front.frag_seq = (
-                a.pw if a.pw is not None else populate_pwaln_to_begin(a)
-            )
-            front.ref_id = ref.id
-            front.ref_desc = ref.desc
-            front.frag_id = fs.id
-            front.frag_desc = fs.desc
-            front.trimmed = fs.trimmed
-            front.revcom = fs.rc
-            front.num_inputs = fs.num_inputs
-            front.segment = "a"
-            front.score = a.best_score
-            front.start = a.abc + ref_start
-            front.end = a.aec + ref_start
-
-            fs.as_ = a.abc + ref_start
-            fs.ae = a.aec + ref_start
-            fs.unique_best = True
-            fs.score = a.best_score
-
-            if front.end > ref.seq_len:
-                front.end = front.end - ref.seq_len
-
-            if front.start > front.end:
-                back = split_pwaln(front, ref.seq_len)
-                fs.front_asp = merge_pwaln_into_maln(front, maln)
-                fs.back_asp = merge_pwaln_into_maln(back, maln)
-            else:
-                fs.front_asp = merge_pwaln_into_maln(front, maln)
-                # reference quirk: reiterate does NOT clear back_asp here
-                # (src/mia_main.c:273-276, unlike sg_align's else branch), so
-                # a read split in pass 1 but not in this iteration keeps a
-                # stale back_asp aliasing another slot — and cull will emit
-                # that slot's record twice.  Preserved for byte parity.
+                _python_realign(fs)

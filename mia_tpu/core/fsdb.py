@@ -321,52 +321,41 @@ def _asp_len(asp: AlnSeq) -> int:
     return (asp.end - asp.start + 1) + sum(len(v) for v in asp.ins.values())
 
 
+def _smp_segment(asp: AlnSeq, act0: int, base: int, total: int, depth: int) -> tuple[str, int]:
+    """Vectorised depth-code assignment for one segment.
+
+    Per column: act += len(ins[pos]); dff = base + act; dfb = total-act-1;
+    emit 'A'+clip rule; act += (seq[pos] != '-').  Returns (smp, final act)."""
+    span = asp.end - asp.start + 1
+    s = np.frombuffer(asp.seq.encode("latin-1"), np.uint8)[:span]
+    nongap = (s != ord("-")).astype(np.int64)
+    ins_add = np.zeros(span, np.int64)
+    for pos, v in asp.ins.items():
+        if pos < span:
+            ins_add[pos] = len(v)
+    act = act0 + np.cumsum(ins_add) + np.concatenate(([0], np.cumsum(nongap)[:-1]))
+    dff = base + act
+    dfb = total - act - 1
+    code = np.where(dff <= depth, dff, np.where(dfb < depth, 2 * depth - dfb, depth))
+    smp = (ord("A") + code).astype(np.uint8).tobytes().decode("latin-1")
+    return smp, int(act0 + ins_add.sum() + nongap.sum())
+
+
 def pop_smp_from_FSDB(fsdb: FSDB, depth: int) -> None:
     """Write 'A'+depth codes per aligned position into each AlnSeq's smp
-    string, spanning front/back segments of wrapped reads."""
+    string, spanning front/back segments of wrapped reads
+    (src/fsdb.c:542-619)."""
     for fs in fsdb.fss:
         front, back = fs.front_asp, fs.back_asp
         if front is None:
             continue
-        act = 0
         front_len = _asp_len(front)
         back_len = _asp_len(back) if back is not None else 0
         total = front_len + back_len
 
-        chars = []
-        span = front.end - front.start + 1
-        for pos in range(span):
-            if pos in front.ins:
-                act += len(front.ins[pos])
-            dff = act
-            dfb = total - act - 1
-            if dff <= depth:
-                chars.append(chr(ord("A") + dff))
-            elif dfb < depth:
-                chars.append(chr(ord("A") + depth * 2 - dfb))
-            else:
-                chars.append(chr(ord("A") + depth))
-            if front.seq[pos] != "-":
-                act += 1
-        front.smp = "".join(chars)
-
+        front.smp, act = _smp_segment(front, 0, 0, total, depth)
         if back is not None:
-            chars = []
-            span = back.end - back.start + 1
-            for pos in range(span):
-                if pos in back.ins:
-                    act += len(back.ins[pos])
-                dff = front_len + act
-                dfb = total - act - 1
-                if dff <= depth:
-                    chars.append(chr(ord("A") + dff))
-                elif dfb < depth:
-                    chars.append(chr(ord("A") + depth * 2 - dfb))
-                else:
-                    chars.append(chr(ord("A") + depth))
-                if back.seq[pos] != "-":
-                    act += 1
-            back.smp = "".join(chars)
+            back.smp, _ = _smp_segment(back, act, front_len, total, depth)
 
 
 # --- fsdb insertion (src/fsdb.c:178-231, 622-663) --------------------------

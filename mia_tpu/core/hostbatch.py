@@ -22,6 +22,12 @@ FLAG_SKIP = 1
 FLAG_HOST_ONLY = 2
 FLAG_WIDE = 4
 
+# mia_p1_solve / mia_rei_solve status codes
+STATUS_OK = 0
+STATUS_NO_KMER = 1
+STATUS_GATED = 2
+STATUS_HOST_FALLBACK = 3
+
 _DECLARED = False
 
 
@@ -57,6 +63,19 @@ def _lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
         ]
+        lib.mia_p1_solve.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.mia_rei_solve.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
         _DECLARED = True
     return lib
 
@@ -67,10 +86,16 @@ class BatchHost:
 
     TRACE_CAP = 4096  # per-read per-side traceback arena (chars)
 
-    def __init__(self, lib, ctx, kpa_handles):
+    def __init__(self, lib, ctx, kpa_handles, len1: int = 0):
         self._lib = lib
         self._ctx = ctx
         self._kpas = kpa_handles
+        self.len1 = len1
+
+    @property
+    def wide_cap(self) -> int:
+        """Arena size that can hold any traceback (full-width window)."""
+        return self.len1 + 256 + 64
 
     @classmethod
     def create(
@@ -84,6 +109,7 @@ class BatchHost:
         soft_mask: bool,
         win_w: int,
         max_intervals: int,
+        upper: bool = True,
     ) -> "BatchHost | None":
         """fw_seq/rc_seq: the (possibly soft-masked) strand characters used
         for BOTH the k-mer index build and (uppercased by caller) scoring.
@@ -109,9 +135,14 @@ class BatchHost:
             else None
         )
         # scoring chars are the uppercased strands (reference flow uppercases
-        # after the k-mer index is built)
-        fu = fw_seq[:len1].upper().encode("latin-1")
-        ru = rc_seq[:len1].upper().encode("latin-1")
+        # after the k-mer index is built); reiterate contexts pass the
+        # consensus as-is (upper=False) to mirror set_seq1 on the raw string
+        if upper:
+            fu = fw_seq[:len1].upper().encode("latin-1")
+            ru = rc_seq[:len1].upper().encode("latin-1")
+        else:
+            fu = fb
+            ru = rb
         ctx = lib.mia_p1_create(
             fu,
             ru,
@@ -124,7 +155,7 @@ class BatchHost:
             win_w,
             max_intervals,
         )
-        return cls(lib, ctx, kpas)
+        return cls(lib, ctx, kpas, len1)
 
     def close(self) -> None:
         if self._ctx:
@@ -208,6 +239,87 @@ class BatchHost:
             np.ascontiguousarray(dev_aec, np.int32).ctypes.data_as(ctypes.c_void_p),
             np.ascontiguousarray(ivg, np.int32).ctypes.data_as(ctypes.c_void_p),
             K,
+            meta.ctypes.data_as(ctypes.c_void_p),
+            out_ref,
+            out_frag,
+            cap,
+        )
+        return meta, out_ref.raw, out_frag.raw
+
+    def solve_pass1(
+        self,
+        arena: bytes,
+        off: np.ndarray,
+        lens: np.ndarray,
+        distant_ref: bool,
+        n_threads: int = 0,
+        cap: int = 0,
+    ):
+        """Fully-native batched pass 1 (k-mer filter + banded fw/rc DP +
+        strand pick + gate + traceback), threaded over reads.
+
+        Returns (meta [n,6] = status/strand/best/abc/aec/pwlen, ref_arena,
+        frag_arena); read b's gapped strings are meta[b,5] chars at offset
+        b*cap (default TRACE_CAP).  Status: 0 aligned, 1 zero k-mer hits,
+        2 gate-rejected, 3 arena too small for this window (retry with a
+        larger ``cap``)."""
+        import os
+
+        n = len(lens)
+        meta = np.empty((n, 6), np.int32)
+        cap = cap or self.TRACE_CAP
+        out_ref = ctypes.create_string_buffer(n * cap)
+        out_frag = ctypes.create_string_buffer(n * cap)
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        self._lib.mia_p1_solve(
+            self._ctx,
+            n,
+            arena,
+            np.ascontiguousarray(off, np.int64).ctypes.data_as(ctypes.c_void_p),
+            np.ascontiguousarray(lens, np.int32).ctypes.data_as(ctypes.c_void_p),
+            int(distant_ref),
+            n_threads,
+            meta.ctypes.data_as(ctypes.c_void_p),
+            out_ref,
+            out_frag,
+            cap,
+        )
+        return meta, out_ref.raw, out_frag.raw
+
+    def solve_rei(
+        self,
+        arena: bytes,
+        off: np.ndarray,
+        lens: np.ndarray,
+        smidx: np.ndarray,
+        wlo: np.ndarray,
+        whi: np.ndarray,
+        n_threads: int = 0,
+        cap: int = 0,
+    ):
+        """Batched per-iteration window realignment (reiterate_assembly's
+        strand-known loop).  Returns (meta [n,5] = status/best/abc/aec/pwlen,
+        ref_arena, frag_arena) with abc/aec in global coordinates."""
+        import os
+
+        n = len(lens)
+        meta = np.empty((n, 5), np.int32)
+        cap = cap or self.TRACE_CAP
+        out_ref = ctypes.create_string_buffer(n * cap)
+        out_frag = ctypes.create_string_buffer(n * cap)
+        if n_threads <= 0:
+            n_threads = os.cpu_count() or 1
+        self._lib.mia_rei_solve(
+            self._ctx,
+            n,
+            arena,
+            np.ascontiguousarray(off, np.int64).ctypes.data_as(ctypes.c_void_p),
+            np.ascontiguousarray(lens, np.int32).ctypes.data_as(ctypes.c_void_p),
+            np.ascontiguousarray(smidx, np.uint8).ctypes.data_as(ctypes.c_void_p),
+            np.ascontiguousarray(wlo, np.int32).ctypes.data_as(ctypes.c_void_p),
+            np.ascontiguousarray(whi, np.int32).ctypes.data_as(ctypes.c_void_p),
+            n_threads,
             meta.ctypes.data_as(ctypes.c_void_p),
             out_ref,
             out_frag,

@@ -56,19 +56,28 @@ class ColumnCounts:
         """
         bi = _BASE_IDX[chars]
         counted = bi >= 0
-        np.add.at(self.counts, (col[counted], bi[counted].astype(np.int64)), 1)
-        np.add.at(self.cov, col, 1)
+        n5 = self.n * 5
+        self.counts += np.bincount(
+            col[counted] * 5 + bi[counted].astype(np.int64), minlength=n5
+        ).reshape(self.n, 5)
+        self.cov += np.bincount(col, minlength=self.n)
         nongap = chars != ord("-")
         if np.any(nongap):
             sub = _SUB_IDX[chars[nongap]].astype(np.int64)
             d = depths[nongap].astype(np.int64)
-            s = strands[nongap]
+            s = strands[nongap].astype(np.int64)
             c = col[nongap]
-            # gather [n,4] score contributions from the right strand matrix
-            contrib_f = fpsm[d, :4, :][np.arange(len(d)), :, sub]
-            contrib_r = rpsm[d, :4, :][np.arange(len(d)), :, sub]
-            contrib = np.where(s[:, None], contrib_r, contrib_f)
-            np.add.at(self.scores, c, contrib)
+            # one fancy-index gather from a [2, 31, 5, 4] strand/depth/sub LUT
+            # (transposed so the candidate-base axis comes out last)
+            lut = np.stack(
+                (fpsm[:, :4, :].transpose(0, 2, 1), rpsm[:, :4, :].transpose(0, 2, 1))
+            )
+            contrib = lut[s, d, sub]  # [n, 4] int
+            # bincount-with-weights is exact here (|score sums| << 2^53)
+            for k in range(4):
+                self.scores[:, k] += np.bincount(
+                    c, weights=contrib[:, k], minlength=self.n
+                ).astype(np.int64)
 
 
 def find_consensus_cols(cc: ColumnCounts, cons_code: int):

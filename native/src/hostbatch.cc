@@ -23,8 +23,10 @@
 // columns is scored full-width on device (flag WIDE).
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -45,6 +47,7 @@ constexpr int kMaxKmerPos = 128;   // MAX_KMER_POS, src/params.h:76
 constexpr int kKmerSaturate = 128; // KMER_SATURATE, src/params.h:77
 constexpr int kMaskBuffer = 10;    // ALIGN_MASK_BUFFER, src/params.h:78
 constexpr int32_t kGep = 200;
+constexpr int32_t kHim2 = INT32_MIN / 2;
 
 inline int base_code(unsigned char c) {
   switch (c) {
@@ -406,6 +409,235 @@ void mia_p1_finish(void* h, int n, const char* arena, const int64_t* off,
       break;
     }
   }
+}
+
+}  // extern "C"
+
+namespace {
+
+constexpr int32_t kFirstRoundCut = 2000;  // FIRST_ROUND_SCORE_CUTOFF, src/params.h:25
+
+// Per-thread DP workspace (score/trace planes for both strands).
+struct SolveBufs {
+  std::vector<int32_t> score[2], trace[2];
+  std::vector<uint8_t> mask[2];
+  std::vector<int8_t> s2c;
+};
+
+// Banded fill over the merged-interval window of one strand; returns the
+// window width (0 when the strand has no open columns).  best/aec are the
+// last-row argmax in GLOBAL coordinates (earliest tie wins,
+// src/mia.c:1278-1302).
+int fill_strand(const Ctx* ctx, bool rc, const IvBuf& iv, const int8_t* s2c,
+                int len2, const int32_t* sm, SolveBufs& bufs, int side,
+                int32_t* best, int32_t* aec, int32_t* win_lo_out) {
+  if (iv.iv.empty()) return 0;
+  const int8_t* s1c = rc ? ctx->rc_c.data() : ctx->fw_c.data();
+  const char* s1 = rc ? ctx->rc_s.data() : ctx->fw_s.data();
+  const int32_t win_lo = std::max(iv.iv.front().first - 2, 0);
+  const int32_t w = iv.iv.back().second - win_lo;
+  auto& mask = bufs.mask[side];
+  mask.assign(w, 0);
+  for (const auto& p : iv.iv)
+    for (int32_t c = p.first; c < p.second; ++c) mask[c - win_lo] = 1;
+  bufs.score[side].resize((size_t)w * len2);
+  bufs.trace[side].resize((size_t)w * len2);
+  mia_dp_fill(s1c + win_lo, w, s2c, len2, sm, mask.data(), /*sg5=*/1,
+              s1 + win_lo, nullptr, nullptr, nullptr, nullptr, nullptr,
+              win_lo, bufs.score[side].data(), bufs.trace[side].data());
+  const int32_t* last = bufs.score[side].data() + (size_t)(len2 - 1) * w;
+  int a = 0;
+  int32_t b = last[0];
+  for (int c = 1; c < w; ++c)
+    if (last[c] > b) { b = last[c]; a = c; }
+  *best = b;
+  *aec = a + win_lo;
+  *win_lo_out = win_lo;
+  return w;
+}
+
+template <typename Fn>
+void parallel_for(int n, int n_threads, Fn fn) {
+  if (n_threads <= 1 || n < 2) {
+    for (int i = 0; i < n; ++i) fn(i);
+    return;
+  }
+  std::atomic<int> next(0);
+  auto worker = [&] {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      fn(i);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Fully-native batched pass 1: per read, k-mer filter both strands
+// (new_kmer_filter, src/kmer.c:239-331), banded DP fw+rc (dyn_prog,
+// src/mia.c:740-981), strand pick + FIRST_ROUND_SCORE_CUTOFF gate
+// (sg_align, src/map_align.c:1500-1614), traceback of the winner.
+//
+// out_meta[b] = {status, strand, best, abc, aec, pwlen} with status
+//   0 = aligned (pw strings at b*cap),  1 = zero k-mer hits (read skipped),
+//   2 = gate-rejected (best valid),     3 = needs host fallback (rare: the
+//       traceback arena could overflow for this window; caller reruns the
+//       per-read Python path).
+// Threaded over reads; outputs are per-read slots so there is no contention.
+void mia_p1_solve(void* h, int n, const char* arena, const int64_t* off,
+                  const int32_t* lens, int distant_ref, int n_threads,
+                  int32_t* out_meta, char* out_ref, char* out_frag,
+                  int64_t cap) {
+  Ctx* ctx = static_cast<Ctx*>(h);
+  const int64_t len1 = ctx->len1;
+  const int32_t* sm = ctx->submat[0].data();
+
+  parallel_for(n, n_threads, [&](int b) {
+    static thread_local SolveBufs bufs;
+    static thread_local IvBuf fb, rb;
+    const char* seq = arena + off[b];
+    const int len2 = lens[b];
+    int32_t* meta = out_meta + (int64_t)b * 6;
+    if (len2 <= 0) {
+      meta[0] = 3;  // degenerate: per-read host path decides
+      meta[1] = meta[2] = meta[3] = meta[4] = meta[5] = 0;
+      return;
+    }
+
+    int num_f = 0, num_r = 0;
+    fb.iv.clear();
+    rb.iv.clear();
+    if (ctx->kmer_len < 0) {
+      // no -k filtering: both strands full-open (reference aligns all reads
+      // full-width when the k-mer filter is off, src/mia_main.c:781-791)
+      fb.iv.emplace_back(0, (int32_t)len1);
+      rb.iv.emplace_back(0, (int32_t)len1);
+      num_f = num_r = 1;
+    } else if (len2 >= ctx->kmer_len) {
+      if (ctx->fkpa)
+        num_f = accumulate_bands(*ctx->fkpa, seq, len2, ctx->kmer_len, len1,
+                                 false, fb);
+      if (ctx->rkpa)
+        num_r = accumulate_bands(*ctx->rkpa, seq, len2, ctx->kmer_len, len1,
+                                 true, rb);
+    }
+    if (num_f + num_r == 0) {
+      meta[0] = 1;
+      meta[1] = meta[2] = meta[3] = meta[4] = meta[5] = 0;
+      return;
+    }
+
+    bufs.s2c.resize(len2);
+    for (int i = 0; i < len2; ++i)
+      bufs.s2c[i] = base2inx((unsigned char)seq[i]);
+
+    int32_t fbest = kHim2, faec = 0, fwlo = 0;
+    int32_t rbest = kHim2, raec = 0, rwlo = 0;
+    const int fw_w =
+        fill_strand(ctx, false, fb, bufs.s2c.data(), len2, sm, bufs, 0,
+                    &fbest, &faec, &fwlo);
+    const int rc_w =
+        fill_strand(ctx, true, rb, bufs.s2c.data(), len2, sm, bufs, 1,
+                    &rbest, &raec, &rwlo);
+
+    // strand pick: ties go rc (sg_align, src/map_align.c:1545-1556)
+    const bool rc = !(fbest > rbest);
+    const int32_t best = rc ? rbest : fbest;
+    meta[1] = rc ? 1 : 0;
+    meta[2] = best;
+    if (best < kFirstRoundCut && !distant_ref) {
+      meta[0] = 2;
+      meta[3] = meta[4] = meta[5] = 0;
+      return;
+    }
+    const int side = rc ? 1 : 0;
+    const int w = rc ? rc_w : fw_w;
+    const int wlo = rc ? rwlo : fwlo;
+    const int32_t aecl = (rc ? raec : faec) - wlo;
+    if ((int64_t)w + len2 + 2 > cap) {
+      meta[0] = 3;  // arena could overflow: host fallback
+      meta[3] = meta[4] = meta[5] = 0;
+      return;
+    }
+    const char* s1 = (rc ? ctx->rc_s.data() : ctx->fw_s.data()) + wlo;
+    int32_t abr, abc;
+    const int32_t pwlen = mia_dp_traceback(
+        bufs.trace[side].data(), w, len2, len2 - 1, aecl, s1, seq,
+        out_ref + (int64_t)b * cap, out_frag + (int64_t)b * cap, (int)cap,
+        &abr, &abc);
+    meta[0] = 0;
+    meta[3] = abc + wlo;
+    meta[4] = (rc ? raec : faec);
+    meta[5] = pwlen;
+  });
+}
+
+// ---------------------------------------------------------------------------
+// Batched per-iteration realignment: each strand-known read realigns in its
+// [as-REALIGN_BUFFER, ae+REALIGN_BUFFER] window of the new consensus with
+// its strand's PSSM (reiterate_assembly, src/mia_main.c:112-278).  The
+// context's fw strand holds the (wrapped) consensus; smidx picks submat 0/1.
+//
+// wlo/whi are the end-exclusive window bounds the caller derived (including
+// the full-reference fallback rule, src/mia_main.c:209-212).
+// out_meta[b] = {status, best, abc, aec, pwlen} with abc/aec GLOBAL; status
+// 0 = ok, 3 = host fallback (traceback arena too small for this window).
+void mia_rei_solve(void* h, int n, const char* arena, const int64_t* off,
+                   const int32_t* lens, const uint8_t* smidx,
+                   const int32_t* wlo, const int32_t* whi, int n_threads,
+                   int32_t* out_meta, char* out_ref, char* out_frag,
+                   int64_t cap) {
+  Ctx* ctx = static_cast<Ctx*>(h);
+
+  parallel_for(n, n_threads, [&](int b) {
+    static thread_local SolveBufs bufs;
+    const char* seq = arena + off[b];
+    const int len2 = lens[b];
+    int32_t* meta = out_meta + (int64_t)b * 5;
+    const int32_t lo = wlo[b];
+    const int w = whi[b] - lo;
+    if (len2 <= 0 || w <= 0 || (int64_t)w + len2 + 2 > cap) {
+      meta[0] = 3;
+      meta[1] = meta[2] = meta[3] = meta[4] = 0;
+      return;
+    }
+    bufs.s2c.resize(len2);
+    for (int i = 0; i < len2; ++i)
+      bufs.s2c[i] = base2inx((unsigned char)seq[i]);
+    bufs.mask[0].assign(w, 1);
+    bufs.score[0].resize((size_t)w * len2);
+    bufs.trace[0].resize((size_t)w * len2);
+    // window-local fill: the Python path slices the reference string, so
+    // column 0 here is window column 0 (win_lo = 0), exactly like
+    // set_seq1(a, ref.seq[ref_start:ref_end]) in driver.reiterate_assembly
+    mia_dp_fill(ctx->fw_c.data() + lo, w, bufs.s2c.data(), len2,
+                ctx->submat[smidx[b]].data(), bufs.mask[0].data(), /*sg5=*/1,
+                ctx->fw_s.data() + lo, nullptr, nullptr, nullptr, nullptr,
+                nullptr, 0, bufs.score[0].data(), bufs.trace[0].data());
+    const int32_t* last = bufs.score[0].data() + (size_t)(len2 - 1) * w;
+    int aecl = 0;
+    int32_t best = last[0];
+    for (int c = 1; c < w; ++c)
+      if (last[c] > best) { best = last[c]; aecl = c; }
+    int32_t abr, abc;
+    const int32_t pwlen = mia_dp_traceback(
+        bufs.trace[0].data(), w, len2, len2 - 1, aecl,
+        ctx->fw_s.data() + lo, seq, out_ref + (int64_t)b * cap,
+        out_frag + (int64_t)b * cap, (int)cap, &abr, &abc);
+    meta[0] = 0;
+    meta[1] = best;
+    meta[2] = abc + lo;
+    meta[3] = aecl + lo;
+    meta[4] = pwlen;
+  });
 }
 
 }  // extern "C"
