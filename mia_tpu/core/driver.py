@@ -382,9 +382,14 @@ def reiterate_assembly(
                 else:
                     narrow.append(job)
             CHUNK = 8192
+            # bound per-chunk output-arena allocation (2 arenas of n*cap
+            # bytes): the wide group's cap is the full reference width, so
+            # scale its chunk size down to ~TARGET_ARENA bytes per arena
+            TARGET_ARENA = CHUNK * bh.TRACE_CAP
             for jobs, cap in ((narrow, bh.TRACE_CAP), (wide, bh.wide_cap)):
-                for c0 in range(0, len(jobs), CHUNK):
-                    chunk = jobs[c0 : c0 + CHUNK]
+                chunk_n = max(1, min(CHUNK, TARGET_ARENA // max(cap, 1)))
+                for c0 in range(0, len(jobs), chunk_n):
+                    chunk = jobs[c0 : c0 + chunk_n]
                     arena, off, lens = bh.pack_reads([fs.seq for fs, _, _ in chunk])
                     wlo = np.fromiter((lo for _, lo, _ in chunk), np.int32, len(chunk))
                     whi = np.fromiter((hi for _, _, hi in chunk), np.int32, len(chunk))

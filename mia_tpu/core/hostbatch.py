@@ -22,6 +22,18 @@ FLAG_SKIP = 1
 FLAG_HOST_ONLY = 2
 FLAG_WIDE = 4
 
+# solver thread cap: each thread holds full score+trace planes for both
+# strands (~w*len2*16 bytes); with the k-mer filter off (full-open windows on
+# a long reference) uncapped cpu_count threads could hold many GB resident
+# and oversubscribe shared hosts
+MAX_SOLVE_THREADS = 16
+
+
+def _default_threads() -> int:
+    import os
+
+    return min(os.cpu_count() or 1, MAX_SOLVE_THREADS)
+
 # mia_p1_solve / mia_rei_solve status codes
 STATUS_OK = 0
 STATUS_NO_KMER = 1
@@ -263,15 +275,13 @@ class BatchHost:
         b*cap (default TRACE_CAP).  Status: 0 aligned, 1 zero k-mer hits,
         2 gate-rejected, 3 arena too small for this window (retry with a
         larger ``cap``)."""
-        import os
-
         n = len(lens)
         meta = np.empty((n, 6), np.int32)
         cap = cap or self.TRACE_CAP
         out_ref = ctypes.create_string_buffer(n * cap)
         out_frag = ctypes.create_string_buffer(n * cap)
         if n_threads <= 0:
-            n_threads = os.cpu_count() or 1
+            n_threads = _default_threads()
         self._lib.mia_p1_solve(
             self._ctx,
             n,
@@ -301,15 +311,13 @@ class BatchHost:
         """Batched per-iteration window realignment (reiterate_assembly's
         strand-known loop).  Returns (meta [n,5] = status/best/abc/aec/pwlen,
         ref_arena, frag_arena) with abc/aec in global coordinates."""
-        import os
-
         n = len(lens)
         meta = np.empty((n, 5), np.int32)
         cap = cap or self.TRACE_CAP
         out_ref = ctypes.create_string_buffer(n * cap)
         out_frag = ctypes.create_string_buffer(n * cap)
         if n_threads <= 0:
-            n_threads = os.cpu_count() or 1
+            n_threads = _default_threads()
         self._lib.mia_rei_solve(
             self._ctx,
             n,

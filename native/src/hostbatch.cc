@@ -456,10 +456,21 @@ int fill_strand(const Ctx* ctx, bool rc, const IvBuf& iv, const int8_t* s2c,
   return w;
 }
 
-template <typename Fn>
-void parallel_for(int n, int n_threads, Fn fn) {
+// Runs fn(i) for i in [0, n) across n_threads; a throwing iteration (e.g.
+// std::bad_alloc from a plane resize) is reported through on_err(i) instead
+// of std::terminate'ing the process, so allocation failure degrades to the
+// caller's per-read host-fallback path.
+template <typename Fn, typename OnErr>
+void parallel_for(int n, int n_threads, Fn fn, OnErr on_err) {
+  auto safe = [&](int i) {
+    try {
+      fn(i);
+    } catch (...) {
+      on_err(i);
+    }
+  };
   if (n_threads <= 1 || n < 2) {
-    for (int i = 0; i < n; ++i) fn(i);
+    for (int i = 0; i < n; ++i) safe(i);
     return;
   }
   std::atomic<int> next(0);
@@ -467,7 +478,7 @@ void parallel_for(int n, int n_threads, Fn fn) {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      fn(i);
+      safe(i);
     }
   };
   std::vector<std::thread> threads;
@@ -577,6 +588,10 @@ void mia_p1_solve(void* h, int n, const char* arena, const int64_t* off,
     meta[3] = abc + wlo;
     meta[4] = (rc ? raec : faec);
     meta[5] = pwlen;
+  }, [&](int b) {
+    int32_t* meta = out_meta + (int64_t)b * 6;
+    meta[0] = 3;  // worker threw (e.g. bad_alloc): per-read host fallback
+    meta[1] = meta[2] = meta[3] = meta[4] = meta[5] = 0;
   });
 }
 
@@ -637,6 +652,10 @@ void mia_rei_solve(void* h, int n, const char* arena, const int64_t* off,
     meta[2] = abc + lo;
     meta[3] = aecl + lo;
     meta[4] = pwlen;
+  }, [&](int b) {
+    int32_t* meta = out_meta + (int64_t)b * 5;
+    meta[0] = 3;  // worker threw: per-read host fallback
+    meta[1] = meta[2] = meta[3] = meta[4] = 0;
   });
 }
 
