@@ -164,10 +164,12 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat
         )
 
-    # double-buffered device pipeline: while the TPU scores batch i, the
-    # host merges batch i-1 (read order — and therefore output — unchanged)
+    # asynchronous device pipeline: batches dispatch without blocking and
+    # drain in read order as their results land (or when the inflight cap is
+    # hit), so the TPU computes while the host streams/packs/merges
     inflight: list = []
     NATIVE_BATCH = 4096
+    MAX_INFLIGHT = 16
 
     def _host_align_one(f) -> None:
         """Per-read host fallback (mask too fragmented for the device)."""
@@ -185,22 +187,97 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         )
         sg_align(maln, f, fsdb, fw_align, rc_align)
 
+    def _solve_native_subset(records_sub: list) -> list[tuple]:
+        """Threaded native full solve of a read subset (wide bands); returns
+        per-read (meta_row, ref_str_bytes, frag_str_bytes)."""
+        from .hostbatch import STATUS_HOST_FALLBACK
+
+        reads = [
+            (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
+            for f in records_sub
+        ]
+        arena, off, lens = bhost.pack_reads(reads)
+        cap = bhost.TRACE_CAP
+        meta, ra, fa = bhost.solve_pass1(arena, off[:-1], lens, maln.distant_ref)
+        out = []
+        retry = [
+            j for j in range(len(records_sub)) if meta[j, 0] == STATUS_HOST_FALLBACK
+        ]
+        wide: dict[int, tuple] = {}
+        if retry:
+            # second pass with a full-width traceback arena, still batched
+            a2, o2, l2 = bhost.pack_reads([reads[j] for j in retry])
+            wcap = bhost.wide_cap
+            m2, r2, f2 = bhost.solve_pass1(
+                a2, o2[:-1], l2, maln.distant_ref, cap=wcap
+            )
+            for t, j in enumerate(retry):
+                wide[j] = (
+                    m2[t],
+                    r2[t * wcap : (t + 1) * wcap],
+                    f2[t * wcap : (t + 1) * wcap],
+                )
+        for j in range(len(records_sub)):
+            if j in wide:
+                out.append(wide[j])
+            else:
+                out.append(
+                    (meta[j], ra[j * cap : (j + 1) * cap], fa[j * cap : (j + 1) * cap])
+                )
+        return out
+
+    def _merge_native_solved(f, m, ra, fa) -> None:
+        """Merge one natively-solved read (meta from mia_p1_solve)."""
+        from .driver import finish_alignment
+        from .hostbatch import (
+            STATUS_GATED,
+            STATUS_HOST_FALLBACK,
+            STATUS_NO_KMER,
+        )
+
+        st = int(m[0])
+        if st == STATUS_NO_KMER:
+            return
+        if st == STATUS_GATED:
+            f.score = int(m[2])
+            return
+        if st == STATUS_HOST_FALLBACK:
+            _host_align_one(f)
+            return
+        n = int(m[5])
+        pw = (ra[:n].decode("latin-1"), fa[:n].decode("latin-1"))
+        finish_alignment(
+            maln, f, fsdb, bool(m[1]), int(m[2]), int(m[3]), int(m[4]), pw
+        )
+
     def _drain_oldest_native() -> None:
         from ..constants import FIRST_ROUND_SCORE_CUTOFF
         from .driver import finish_alignment
-        from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP
+        from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP, FLAG_WIDE
 
         records, handle, prep = inflight.pop(0)
         arena, off, lens, fw_ivg, rc_ivg, flags = prep
         fb, fa, rb, ra = scorer.collect_arrays(handle)
-        # select winners (strand, gate) -> one native finish call
+        # reads whose band exceeds the device window: threaded native solve
+        # (there is deliberately no second full-width device program)
+        wide_idx = [
+            i
+            for i in range(len(records))
+            if (flags[i] & FLAG_WIDE) and not (flags[i] & (FLAG_SKIP | FLAG_HOST_ONLY))
+        ]
+        wide_res = (
+            dict(zip(wide_idx, _solve_native_subset([records[i] for i in wide_idx])))
+            if wide_idx
+            else {}
+        )
+        # select windowed winners (strand, gate) -> one native finish call
         win: list[int] = []
         strand = []
         bests = []
         aecs = []
         for i in range(len(records)):
             fl = flags[i]
-            if fl & (FLAG_SKIP | FLAG_HOST_ONLY):
+            if fl & (FLAG_SKIP | FLAG_HOST_ONLY | FLAG_WIDE):
                 continue
             rcwin = not (fb[i] > rb[i])
             best = int(rb[i] if rcwin else fb[i])
@@ -238,7 +315,14 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             if fl & FLAG_HOST_ONLY:
                 _host_align_one(f)
                 continue
+            if fl & FLAG_WIDE:
+                _merge_native_solved(f, *wide_res[i])
+                continue
             n = int(meta[w, 3])
+            if n < 0:  # native finish worker failed: per-read host path
+                _host_align_one(f)
+                w += 1
+                continue
             pw = (
                 ref_arena[w * cap : w * cap + n].decode("latin-1"),
                 frag_arena[w * cap : w * cap + n].decode("latin-1"),
@@ -323,7 +407,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             sg_align(maln, f, fsdb, fw_align, rc_align, precomputed=res)
 
     def flush_pending(final: bool = False) -> None:
-        from .jax_engine import _L_BUCKETS
+        from .jax_engine import L_MAX, MAX_INTERVALS, Pass1Scorer
 
         if pending:
             records = pending[:]
@@ -334,15 +418,8 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                     for f in records
                 ]
                 arena, off, lens = bhost.pack_reads(reads)
-                L = max(int(lens.max()) if len(lens) else 1, 1)
-                for bucket in _L_BUCKETS:
-                    if L <= bucket:
-                        L = bucket
-                        break
-                from .jax_engine import MAX_INTERVALS
-
                 s2c, fw_ws, rc_ws, fw_ivg, rc_ivg, flags = bhost.prepare(
-                    arena, off, lens, L, MAX_INTERVALS
+                    arena, off, lens, L_MAX, MAX_INTERVALS
                 )
                 handle = scorer.dispatch_packed(
                     s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags
@@ -359,9 +436,13 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                     reads, [m for _, m, _ in records], [m for _, _, m in records]
                 )
                 inflight.append((records, handle))
-        # keep up to 2 batches in flight: the device/tunnel works on batch
-        # i and i+1 while the host merges batch i-1
-        while len(inflight) > (0 if final else 2):
+        # drain in read order: everything whose result already landed, plus
+        # enough to respect the inflight cap (bounds host-side batch buffers)
+        while inflight and (
+            final
+            or len(inflight) > MAX_INFLIGHT
+            or Pass1Scorer.ready(inflight[0][1])
+        ):
             if bhost is not None:
                 _drain_oldest_native()
             else:

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import sys
+from functools import lru_cache
 
 import numpy as np
 
@@ -341,6 +342,18 @@ def _smp_segment(asp: AlnSeq, act0: int, base: int, total: int, depth: int) -> t
     return smp, int(act0 + ins_add.sum() + nongap.sum())
 
 
+@lru_cache(maxsize=1024)
+def _plain_smp(span: int, depth: int) -> str:
+    """Depth-code string for an unsplit, indel-free read of ``span`` bases:
+    the act counter then equals the column index, so the code profile is a
+    pure function of length (the overwhelmingly common case — computing it
+    once per length removes the per-read numpy dispatch cost)."""
+    i = np.arange(span, dtype=np.int64)
+    dfb = span - i - 1
+    code = np.where(i <= depth, i, np.where(dfb < depth, 2 * depth - dfb, depth))
+    return (ord("A") + code).astype(np.uint8).tobytes().decode("latin-1")
+
+
 def pop_smp_from_FSDB(fsdb: FSDB, depth: int) -> None:
     """Write 'A'+depth codes per aligned position into each AlnSeq's smp
     string, spanning front/back segments of wrapped reads
@@ -348,6 +361,9 @@ def pop_smp_from_FSDB(fsdb: FSDB, depth: int) -> None:
     for fs in fsdb.fss:
         front, back = fs.front_asp, fs.back_asp
         if front is None:
+            continue
+        if back is None and not front.ins and "-" not in front.seq:
+            front.smp = _plain_smp(front.end - front.start + 1, depth)
             continue
         front_len = _asp_len(front)
         back_len = _asp_len(back) if back is not None else 0

@@ -74,6 +74,7 @@ def _lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int,
         ]
         lib.mia_p1_solve.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p,
@@ -227,11 +228,15 @@ class BatchHost:
         dev_best: np.ndarray,
         dev_aec: np.ndarray,
         ivg: np.ndarray,
+        n_threads: int = 0,
     ):
-        """Window-exact DP + traceback for each read's winning strand.
+        """Window-exact DP + traceback for each read's winning strand,
+        threaded over reads.
 
         Returns (meta [n,4] = best/abc/aec/pwlen, ref_arena, frag_arena);
         read b's strings are the first meta[b,3] chars at offset b*TRACE_CAP.
+        A pwlen of -1 marks a worker failure: rerun that read on the
+        per-read host path.
         """
         n = len(lens)
         K = ivg.shape[1]
@@ -239,6 +244,8 @@ class BatchHost:
         cap = self.TRACE_CAP
         out_ref = ctypes.create_string_buffer(n * cap)
         out_frag = ctypes.create_string_buffer(n * cap)
+        if n_threads <= 0:
+            n_threads = _default_threads()
         self._lib.mia_p1_finish(
             self._ctx,
             n,
@@ -255,6 +262,7 @@ class BatchHost:
             out_ref,
             out_frag,
             cap,
+            n_threads,
         )
         return meta, out_ref.raw, out_frag.raw
 

@@ -1,41 +1,66 @@
-"""Device-accelerated pass-1 engine.
+"""Device-accelerated scoring engine (pass 1 + iteration realignment).
 
-Phase split: the host streams/filters reads (trim + k-mer masks), the device
-scores whole batches fw+rc with the batched DP kernel, and the host then
-reconstructs the winning strand's traceback over a score-verified window —
-so merge bookkeeping stays identical to the exact engine while the O(W*L)
-scoring work runs on the TPU.
+Phase split: the host streams/filters reads (trim + k-mer bands via the
+native batch engine), the device scores whole batches with the batched DP
+kernel, and the host then reconstructs the winning strand's traceback over a
+score-verified window — so merge bookkeeping stays identical to the exact
+engine while the O(W*L) scoring work runs on the TPU.
 
-Transfer discipline (the host<->device link may be a high-latency tunnel):
-batches ship as fixed shapes (batch padded to SCORE_BATCH, rows bucketed) so
-kernels compile once; k-mer band masks ship as per-read interval lists (a
-few dozen bytes) and expand to [B, W] on device; only per-read (best, aec)
-scalars come back.
+Everything the device sees is an **entry**: a (reference-strand select,
+window start, band intervals, read codes, PSSM select) tuple.  Pass 1 ships
+each read as two entries (fw + rc strand); iteration realignment ships each
+strand-known read as one entry against the new consensus with its strand's
+PSSM.  One jitted module-level program — ``_score_entries`` — serves every
+caller, so the whole assembly (all iterations included) compiles exactly ONE
+device program per process.
+
+Transfer discipline (the host<->device link may be a high-latency tunnel,
+measured here at ~27 ms RTT and ~30 MB/s put / ~23 MB/s get):
+
+* FIXED shapes only — entries padded to E_BATCH, rows to L_MAX, windows to
+  WIN_W, intervals to MAX_INTERVALS, and the reference to a REF_BUCKET
+  multiple (so per-iteration consensus length drift never changes the traced
+  shapes).  Round 2's per-shape recompiles (tens of seconds each through the
+  tunnel) dominated the whole assembly; this removes them by construction.
+* The compile starts on a BACKGROUND thread at construction, overlapping the
+  host's read streaming/packing phase.
+* Per-batch inputs ship small: reads as int8 codes and band masks as
+  per-read interval lists; the [E, L, 5] per-row PSSM score table is
+  computed ON DEVICE from (s2c, lengths, smidx) rather than shipped.
+* Dispatch is fully asynchronous; only per-entry (best, aec) int32 scalars
+  come back, one fused fetch per drained batch.
+* Reads whose band exceeds WIN_W (saturated k-mers / no-filter runs) are NOT
+  given a second full-width device program; they route to the threaded
+  native solver, keeping the device program count at one.
 
 Window verification: the host recomputes the winning strand's DP restricted
 to [aec - margin, aec] (margin from the score bound: a gated alignment of
 score >= s spans at most len2 + (len2*max_sub - s)/GEP extra columns) and
 checks that (best, aec) and the alignment start reproduce exactly; any
-disagreement falls back to the full-width exact computation.
+disagreement falls back to the full-width exact computation
+(native/src/hostbatch.cc: mia_p1_finish).
 """
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass
 
 import numpy as np
 
-from ..constants import GEP
-from ..ops.dp_numpy import Alignment, dyn_prog, max_sg_score
+from ..constants import GEP, INIT_ALN_SEQ_LEN, PSSM_DEPTH
+from ..ops.dp_numpy import Alignment
 from ..utils.encoding import encode_seq
 
-SCORE_BATCH = 2048
+SCORE_BATCH = 8192           # reads per pass-1 batch (2 entries each)
+E_BATCH = 2 * SCORE_BATCH    # entries per device dispatch
 MAX_INTERVALS = 16
-_L_BUCKETS = (32, 64, 96, 128, 192, 256)
-# per-read reference window for the banded scorer; strands whose k-mer band
-# spans more than WIN_W columns fall back to the full-width scorer
+# per-read reference window for the banded scorer; strands whose band spans
+# more than WIN_W columns are solved by the native engine instead
 WIN_W = 384
-FULL_BATCH = 128
+L_MAX = INIT_ALN_SEQ_LEN     # 256: the reference's hard read-length cap
+REF_BUCKET = 2048            # reference width pads to a multiple of this
+BLOCK_B = 32                 # Pallas batch-block (entries per grid step)
 
 
 @dataclass
@@ -63,10 +88,111 @@ def mask_intervals(mask: np.ndarray) -> np.ndarray | None:
     return out
 
 
-class Pass1Scorer:
-    """Batches reads against both reference strands on the device."""
+def device_depths(lengths, L: int):
+    """PSSM depth slot per (entry, row), on device (find_sm_depth,
+    src/pssm.c:36-46; identical to ops.dp_jax.depths_for)."""
+    import jax.numpy as jnp
 
-    def __init__(self, fw_s1c, rc_s1c, len1: int, submat, batch: int = SCORE_BATCH):
+    rows = jnp.arange(L, dtype=jnp.int32)[None, :]
+    ln = lengths[:, None]
+    from_back = ln - (rows + 1)
+    d = jnp.where(
+        rows < PSSM_DEPTH,
+        rows,
+        jnp.where(from_back < PSSM_DEPTH, 2 * PSSM_DEPTH - from_back, PSSM_DEPTH),
+    )
+    return jnp.clip(d, 0, 2 * PSSM_DEPTH)
+
+
+def _entries_core(refs, ref_sel, starts, ivl, s2c, lengths, smidx, sms,
+                  use_pallas: bool, block_b: int):
+    """Trace-time body shared by the plain and shard_map'd programs."""
+    import jax.numpy as jnp
+
+    WTOT = refs.shape[1]
+    # one fused gather: [E, WIN_W] window codes from the selected strand
+    flat = refs.reshape(-1)
+    idx = (
+        ref_sel.astype(jnp.int32)[:, None] * WTOT
+        + starts[:, None]
+        + jnp.arange(WIN_W, dtype=jnp.int32)[None, :]
+    )
+    wins = flat[idx].astype(jnp.int32)
+    cols = jnp.arange(WIN_W, dtype=jnp.int32)[None, None, :]
+    maskw = ((cols >= ivl[:, :, 0][:, :, None]) & (cols < ivl[:, :, 1][:, :, None])).any(
+        axis=1
+    )
+    s2c32 = s2c.astype(jnp.int32)
+    depths = device_depths(lengths, s2c.shape[1])
+    # row_sm[e, r, i] = sms[smidx[e], depth(e,r), i, s2c[e,r]] — computed on
+    # device so only the int8 codes ship
+    sm_t = jnp.transpose(sms, (0, 1, 3, 2))  # [2, 31, read_base, ref_base]
+    row_sm = sm_t[smidx.astype(jnp.int32)[:, None], depths, s2c32]  # [E, L, 5]
+    if use_pallas:
+        from ..ops.dp_pallas import pallas_last_row
+
+        last = pallas_last_row(wins, maskw, row_sm, lengths, sg5=True, block_b=block_b)
+    else:
+        from ..ops.dp_jax import batch_last_row_rowsm
+
+        last = batch_last_row_rowsm(wins, maskw, row_sm, lengths, sg5=True)
+    aec = jnp.argmax(last, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(last, aec[:, None], axis=1)[:, 0]
+    return jnp.stack([best, aec])  # [2, E]
+
+
+@functools.lru_cache(maxsize=None)
+def _plain_fn(use_pallas: bool, block_b: int):
+    import jax
+
+    @jax.jit
+    def fn(refs, ref_sel, starts, ivl, s2c, lengths, smidx, sms):
+        return _entries_core(
+            refs, ref_sel, starts, ivl, s2c, lengths, smidx, sms, use_pallas, block_b
+        )
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _mesh_fn(mesh, use_pallas: bool, block_b: int):
+    """Data-parallel program: entries shard over the mesh's ``dp`` axis, the
+    reference strands and PSSMs replicate — the production realisation of
+    SURVEY §2's read-data-parallelism row."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    fn = functools.partial(
+        _entries_core, use_pallas=use_pallas, block_b=block_b
+    )
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P()),
+        out_specs=P(None, "dp"),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+class Pass1Scorer:
+    """Batches entries against up to two reference strands on the device.
+
+    The jitted program has process-constant shapes; construction launches
+    its compilation on a daemon thread so it overlaps host streaming.  With
+    ``mesh`` (axis name ``dp``) the entry axis shards across devices."""
+
+    def __init__(
+        self,
+        fw_s1c,
+        rc_s1c,
+        len1: int,
+        submat,
+        submat_b=None,
+        batch: int = SCORE_BATCH,
+        mesh=None,
+        warm: bool = True,
+    ):
         import jax
         import jax.numpy as jnp
 
@@ -75,386 +201,214 @@ class Pass1Scorer:
         setup_jax_cache()
 
         self.len1 = len1
-        # pad the reference width to the lane quantum; padded columns stay
-        # masked (HIM) so results are unchanged
-        self.W = -(-len1 // 128) * 128
         self.batch = batch
-        self.submat = np.asarray(submat, dtype=np.int32)
-        # extra WIN_W of padding so per-read window gathers never run off the
-        # end (gathered junk columns are masked)
-        fw = np.full(self.W + WIN_W, 4, np.int32)
-        fw[:len1] = np.asarray(fw_s1c[:len1], dtype=np.int32)
-        rc = np.full(self.W + WIN_W, 4, np.int32)
-        rc[:len1] = np.asarray(rc_s1c[:len1], dtype=np.int32)
-        self._fw_pad = jnp.asarray(fw)
-        self._rc_pad = jnp.asarray(rc)
-        self._fw = self._fw_pad[: self.W]
-        self._rc = self._rc_pad[: self.W]
-        self._sm = jnp.asarray(self.submat)
+        self.E = 2 * batch
+        # reference pads to a REF_BUCKET multiple + WIN_W of tail padding so
+        # per-read window gathers never run off the end (gathered junk
+        # columns are masked) and consensus-length drift between iterations
+        # never changes the compiled shape
+        WPAD = -(-len1 // REF_BUCKET) * REF_BUCKET
+        self.WTOT = WPAD + WIN_W
+        refs = np.full((2, self.WTOT), 4, np.int8)
+        refs[0, :len1] = np.asarray(fw_s1c[:len1], dtype=np.int8)
+        refs[1, :len1] = np.asarray(rc_s1c[:len1], dtype=np.int8)
+        sms = np.stack(
+            [
+                np.asarray(submat, dtype=np.int32),
+                np.asarray(submat_b if submat_b is not None else submat, np.int32),
+            ]
+        )
+        self._refs = jnp.asarray(refs)
+        self._sms = jnp.asarray(sms)
         self._use_pallas = jax.devices()[0].platform != "cpu"
-        self._score_fn = self._build()
-        self._score_win_fn = self._build_win()
+        self._mesh = mesh
+        if mesh is not None and mesh.size > 1:
+            self._fn = _mesh_fn(mesh, self._use_pallas, BLOCK_B)
+        else:
+            self._fn = _plain_fn(self._use_pallas, BLOCK_B)
+        self._warmup_thread = None
+        if warm:
+            self._warmup_thread = threading.Thread(target=self._warmup, daemon=True)
+            self._warmup_thread.start()
 
-    def _build(self):
-        import jax
-        import jax.numpy as jnp
-
-        from ..ops.dp_jax import batch_last_row
-
-        W = self.W
-        len1 = self.len1
-
-        def expand_mask(iv):  # [B, K, 2] -> [B, W] bool
-            cols = jnp.arange(W, dtype=jnp.int32)[None, None, :]
-            lo = iv[:, :, 0][:, :, None]
-            hi = iv[:, :, 1][:, :, None]
-            return ((cols >= lo) & (cols < hi)).any(axis=1)
-
-        use_pallas = self._use_pallas
-
-        def strand_last_row(s1c, iv, payload, lengths):
-            mask = expand_mask(iv)
-            if use_pallas:
-                from ..ops.dp_pallas import pallas_last_row
-
-                last = pallas_last_row(
-                    s1c, mask, payload, lengths, sg5=True, block_b=8
-                )
-            else:
-                s2c, depths = payload
-                last = batch_last_row(
-                    s1c, mask, s2c, lengths, depths, self._sm, sg5=True
-                )
-            aec = jnp.argmax(last, axis=1).astype(jnp.int32)
-            best = jnp.take_along_axis(last, aec[:, None], axis=1)[:, 0]
-            return best, aec
-
-        # one jitted call scores BOTH strands, returning ONE stacked [4, B]
-        # array: a single dispatch and a single result-fetch round-trip per
-        # batch (each fetch on a tunneled device link costs ~30 ms)
-        @functools.partial(jax.jit, static_argnames=())
-        def score(fw_s1c, rc_s1c, fw_iv, rc_iv, payload, lengths):
-            fb, fa = strand_last_row(fw_s1c, fw_iv, payload, lengths)
-            rb, ra = strand_last_row(rc_s1c, rc_iv, payload, lengths)
-            return jnp.stack([fb, fa, rb, ra])
-
-        return score
-
-    def _build_win(self):
-        """Windowed scorer: each (read, strand) gets a WIN_W-column slice of
-        the reference around its k-mer band, so device work per read is
-        O(read_len * WIN_W) instead of O(read_len * ref_len).
-
-        Exactness: every open (unmasked) column lies inside the window, the
-        window's local columns 0-1 are masked stand-ins for the whole masked
-        left context unless the window starts at true column 0 (the same
-        construction dp_numpy.dyn_prog uses for its host band), masked cells
-        hold HIM and can never win or influence an open cell, and the gap
-        cost terms are shift-invariant — so (best, aec) equal the full-width
-        values exactly."""
-        import jax
-        import jax.numpy as jnp
-
-        from ..ops.dp_jax import batch_last_row
-
-        use_pallas = self._use_pallas
-
-        def expand_mask_local(iv):  # [B, K, 2] window-local -> [B, WIN_W]
-            cols = jnp.arange(WIN_W, dtype=jnp.int32)[None, None, :]
-            lo = iv[:, :, 0][:, :, None]
-            hi = iv[:, :, 1][:, :, None]
-            return ((cols >= lo) & (cols < hi)).any(axis=1)
-
-        # NOTE: the padded reference strands are jit ARGUMENTS, not closure
-        # captures — a closure-captured device array becomes an HLO constant,
-        # which lowering materialises on the HOST; over a tunneled device
-        # link that fetch dominated the whole assembly (~145 s per strand).
-        @functools.partial(jax.jit, static_argnames=())
-        def score_win(fw_pad, rc_pad, fw_starts, rc_starts, fw_ivl, rc_ivl, payload, lengths):
-            def gather(ref, starts):
-                # one fused gather: [B, WIN_W] indices into the padded ref
-                idx = starts[:, None] + jnp.arange(WIN_W, dtype=jnp.int32)[None, :]
-                return ref[idx]
-
-            wins = jnp.concatenate(
-                [gather(fw_pad, fw_starts), gather(rc_pad, rc_starts)]
+    def _warmup(self) -> None:
+        """Compile the program on dummy inputs and FETCH the result (daemon
+        thread) — on deferred-execution backends the compile only completes
+        when a result is forced.  Real dispatches of the same shapes share
+        the compile via jit's internal cache."""
+        try:
+            h = self.dispatch_entries(
+                np.zeros(1, np.int8),
+                np.zeros(1, np.int32),
+                np.zeros((1, MAX_INTERVALS, 2), np.int32),
+                np.full((1, L_MAX), 4, np.int8),
+                np.ones(1, np.int32),
+                np.zeros(1, np.int8),
             )
-            maskw = jnp.concatenate(
-                [expand_mask_local(fw_ivl), expand_mask_local(rc_ivl)]
+            self.collect_entries(h)
+        except Exception:  # warmup is an optimization; dispatch will retry
+            pass
+
+    # ------------------------------------------------------------- dispatch
+    def dispatch_entries(self, ref_sel, starts, ivl, s2c, lengths, smidx):
+        """Enqueue up to E_BATCH entries; fully asynchronous.
+
+        ivl holds WINDOW-LOCAL [lo, hi) intervals (global band minus the
+        entry's window start); entries with all-zero intervals score HIM.
+        Returns an opaque handle for :meth:`collect_entries`."""
+        n = len(ref_sel)
+        if n == 0:
+            return (None, 0)
+        E = self.E
+        assert n <= E
+
+        def pad(a, fill=0):
+            if n == E:
+                return np.ascontiguousarray(a)
+            out = np.full((E,) + a.shape[1:], fill, a.dtype)
+            out[:n] = a
+            return out
+
+        s2c_p = np.full((E, L_MAX), 4, np.int8)
+        s2c_p[:n, : s2c.shape[1]] = s2c
+        out = self._fn(
+            self._refs,
+            pad(np.ascontiguousarray(ref_sel, np.int8)),
+            pad(np.ascontiguousarray(starts, np.int32)),
+            pad(np.ascontiguousarray(ivl, np.int32)),
+            s2c_p,
+            pad(np.maximum(np.ascontiguousarray(lengths, np.int32), 1), 1),
+            pad(np.ascontiguousarray(smidx, np.int8)),
+            self._sms,
+        )
+        return (out, n)
+
+    @staticmethod
+    def ready(handle) -> bool:
+        """True when the batch's device results have landed (non-blocking)."""
+        out = handle[0]
+        if out is None:
+            return True
+        try:
+            return bool(out.is_ready())
+        except AttributeError:  # backend without is_ready(): treat as ready
+            return True
+
+    @staticmethod
+    def collect_entries(handle):
+        """Materialise a dispatched batch: (best, aec) int64 arrays [n];
+        aec is WINDOW-LOCAL (add the entry's window start)."""
+        import jax
+
+        out, n = handle
+        arr = jax.device_get(out)
+        return arr[0, :n].astype(np.int64), arr[1, :n].astype(np.int64)
+
+    # ------------------------------------------------- pass-1 (two strands)
+    def dispatch_packed(self, s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags):
+        """Enqueue one pass-1 read batch already packed by the native host
+        engine (core/hostbatch.py: BatchHost.prepare): each read becomes two
+        entries (fw then rc).  Results via :meth:`collect_arrays`.
+
+        flags: per-read FLAG_SKIP / FLAG_HOST_ONLY / FLAG_WIDE bits; flagged
+        reads get empty intervals (garbage scores the caller must ignore —
+        WIDE reads are solved by the native engine instead)."""
+        from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP, FLAG_WIDE
+
+        n = len(lens)
+        if n == 0:
+            return (None, 0, None, None)
+        assert n <= self.batch
+
+        inactive = (flags & (FLAG_SKIP | FLAG_HOST_ONLY | FLAG_WIDE)) != 0
+
+        def local_iv(ivg, ws):
+            used = (ivg[:, :, 1] > 0) & ~inactive[:n, None]
+            return np.where(used[:, :, None], ivg - ws[:n, None, None], 0).astype(
+                np.int32
             )
-            ln2 = jnp.concatenate([lengths, lengths])
-            if use_pallas:
-                from ..ops.dp_pallas import pallas_last_row
 
-                payload2 = jnp.concatenate([payload, payload])
-                last = pallas_last_row(
-                    wins, maskw, payload2, ln2, sg5=True, block_b=8
-                )
-            else:
-                s2c, depths = payload
-                last = batch_last_row(
-                    wins,
-                    maskw,
-                    jnp.concatenate([s2c, s2c]),
-                    ln2,
-                    jnp.concatenate([depths, depths]),
-                    self._sm,
-                    sg5=True,
-                )
-            aec = jnp.argmax(last, axis=1).astype(jnp.int32)
-            best = jnp.take_along_axis(last, aec[:, None], axis=1)[:, 0]
-            return jnp.stack([best, aec])  # [2, 2B]: fw rows 0..B-1, rc B..
+        ref_sel = np.repeat(np.array([0, 1], np.int8), n)
+        starts = np.concatenate([fw_ws, rc_ws]).astype(np.int32)
+        ivl = np.concatenate([local_iv(fw_ivg, fw_ws), local_iv(rc_ivg, rc_ws)])
+        s2c2 = np.concatenate([s2c, s2c]).astype(np.int8)
+        ln2 = np.concatenate([lens, lens]).astype(np.int32)
+        smidx = np.zeros(2 * n, np.int8)
+        handle = self.dispatch_entries(ref_sel, starts, ivl, s2c2, ln2, smidx)
+        return handle + (fw_ws.copy(), rc_ws.copy())
 
-        return score_win
+    def collect_arrays(self, handle):
+        """Materialise a packed pass-1 batch: (fb, fa, rb, ra) int64 [n]
+        with aec in GLOBAL reference coordinates."""
+        out, n2, fw_ws, rc_ws = handle
+        best, aec = self.collect_entries((out, n2))
+        n = n2 // 2
+        fb = best[:n]
+        fa = aec[:n] + fw_ws[:n]
+        rb = best[n:]
+        ra = aec[n:] + rc_ws[:n]
+        return fb, fa, rb, ra
 
+    # --------------------------------------------------- mask-based dispatch
     def dispatch(self, reads, fw_masks, rc_masks):
-        """Enqueue a batch on the device WITHOUT blocking on the result.
-
-        Returns an opaque handle for :meth:`collect`.  JAX dispatch is
-        asynchronous, so the caller can keep doing host work (merging the
-        previous batch) while this one computes / transfers.
-        """
-        import jax.numpy as jnp
-
-        from ..ops.dp_jax import depths_for
-        from ..ops.dp_pallas import make_row_sm
+        """Enqueue a batch built from per-read boolean masks (the pure-Python
+        path used when the native batch engine is unavailable).  Returns an
+        opaque handle for :meth:`collect`; host-only and over-wide reads are
+        marked for the caller's per-read fallback."""
+        from .hostbatch import FLAG_HOST_ONLY, FLAG_WIDE
 
         n = len(reads)
         if n == 0:
-            return (None, None, None, None, None, 0)
-        B = self.batch
-        assert n <= B
-
-        L = max(max((len(r) for r in reads), default=1), 1)
-        for bucket in _L_BUCKETS:
-            if L <= bucket:
-                L = bucket
-                break
+            return (None, 0, None, None, np.zeros(0, bool))
+        assert n <= self.batch
 
         K = MAX_INTERVALS
-        s2c = np.full((B, L), 4, np.int32)
-        lengths = np.ones(B, np.int32)
-        fw_iv = np.zeros((B, K, 2), np.int32)
-        rc_iv = np.zeros((B, K, 2), np.int32)
-        fw_ivl = np.zeros((B, K, 2), np.int32)
-        rc_ivl = np.zeros((B, K, 2), np.int32)
-        fw_starts = np.zeros(B, np.int32)
-        rc_starts = np.zeros(B, np.int32)
-        host_only = np.zeros(n, bool)
-        wide: list[int] = []
+        s2c = np.full((n, L_MAX), 4, np.int8)
+        lens = np.ones(n, np.int32)
+        fw_ivg = np.zeros((n, K, 2), np.int32)
+        rc_ivg = np.zeros((n, K, 2), np.int32)
+        fw_ws = np.zeros(n, np.int32)
+        rc_ws = np.zeros(n, np.int32)
+        flags = np.zeros(n, np.int32)
         for b, r in enumerate(reads):
             if r:
-                lengths[b] = len(r)
+                lens[b] = len(r)
                 s2c[b, : len(r)] = encode_seq(r)
             fiv = mask_intervals(fw_masks[b][: self.len1])
             riv = mask_intervals(rc_masks[b][: self.len1])
             if fiv is None or riv is None:
-                host_only[b] = True
+                flags[b] = FLAG_HOST_ONLY
                 continue
-            ok = True
-            for iv, ivl, starts in (
-                (fiv, fw_ivl, fw_starts),
-                (riv, rc_ivl, rc_starts),
-            ):
+            fw_ivg[b] = fiv
+            rc_ivg[b] = riv
+            wide = False
+            for iv, ws in ((fiv, fw_ws), (riv, rc_ws)):
                 used = iv[:, 1] > 0
                 if not used.any():
                     continue  # fully masked strand: empty window, HIM result
                 lo = int(iv[used, 0].min())
                 hi = int(iv[used, 1].max())
-                ws = max(0, lo - 2)
-                if hi - ws > WIN_W:
-                    ok = False
+                w0 = max(0, lo - 2)
+                if hi - w0 > WIN_W:
+                    wide = True
                     break
-                starts[b] = ws
-                ivl[b] = np.where(used[:, None], iv - ws, 0)
-            if not ok:
-                wide.append(b)
-                fw_iv[b] = fiv
-                rc_iv[b] = riv
-                fw_starts[b] = rc_starts[b] = 0
-                fw_ivl[b] = 0
-                rc_ivl[b] = 0
+                ws[b] = w0
+            if wide:
+                # no native engine to solve wide reads: per-read host path
+                flags[b] = FLAG_WIDE
+                fw_ws[b] = rc_ws[b] = 0
+        handle = self.dispatch_packed(s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags)
+        return handle + (flags != 0,)
 
-        depths = depths_for(lengths, L)
-        if self._use_pallas:
-            row_sm = make_row_sm(self.submat, s2c, depths).astype(np.int32)
-            payload = jnp.asarray(row_sm)
-        else:
-            payload = (jnp.asarray(s2c), jnp.asarray(depths))
-        outs_win = self._score_win_fn(
-            self._fw_pad,
-            self._rc_pad,
-            jnp.asarray(fw_starts),
-            jnp.asarray(rc_starts),
-            jnp.asarray(fw_ivl),
-            jnp.asarray(rc_ivl),
-            payload,
-            jnp.asarray(lengths),
-        )
-        wide_handles = []
-        for i in range(0, len(wide), FULL_BATCH):
-            chunk = wide[i : i + FULL_BATCH]
-            m = len(chunk)
-            fwi = np.zeros((FULL_BATCH, K, 2), np.int32)
-            rci = np.zeros((FULL_BATCH, K, 2), np.int32)
-            fwi[:m] = fw_iv[chunk]
-            rci[:m] = rc_iv[chunk]
-            ln_w = np.ones(FULL_BATCH, np.int32)
-            ln_w[:m] = lengths[chunk]
-            if self._use_pallas:
-                pay_w = np.full((FULL_BATCH,) + row_sm.shape[1:], 0, np.int32)
-                pay_w[:m] = row_sm[chunk]
-                pay_w = jnp.asarray(pay_w)
-            else:
-                s2c_w = np.full((FULL_BATCH, L), 4, np.int32)
-                s2c_w[:m] = s2c[chunk]
-                d_w = depths_for(ln_w, L)
-                pay_w = (jnp.asarray(s2c_w), jnp.asarray(d_w))
-            outs = self._score_fn(
-                self._fw,
-                self._rc,
-                jnp.asarray(fwi),
-                jnp.asarray(rci),
-                pay_w,
-                jnp.asarray(ln_w),
-            )
-            wide_handles.append((outs, chunk))
-        return (outs_win, fw_starts, rc_starts, wide_handles, host_only, n)
-
-    def dispatch_packed(self, s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags):
-        """Enqueue a batch already packed by the native host engine
-        (core/hostbatch.py: BatchHost.prepare).  Same double-buffer contract
-        as :meth:`dispatch`; results come back via :meth:`collect_arrays`.
-
-        flags: per-read FLAG_SKIP / FLAG_HOST_ONLY / FLAG_WIDE bits (reads
-        flagged skip/host-only get garbage scores the caller must ignore)."""
-        import jax.numpy as jnp
-
-        from ..ops.dp_jax import depths_for
-        from ..ops.dp_pallas import make_row_sm
-        from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP, FLAG_WIDE
-
-        n = len(lens)
-        if n == 0:
-            return (None, None, None, None, None, 0)
-        B = self.batch
-        assert n <= B
-        L = s2c.shape[1]
-
-        def pad(a, fill=0):
-            if n == B:
-                return np.ascontiguousarray(a)
-            out = np.full((B,) + a.shape[1:], fill, a.dtype)
-            out[:n] = a
-            return out
-
-        s2c_p = pad(s2c, 4)
-        lengths = pad(np.maximum(lens.astype(np.int32), 1), 1)
-        fw_ws_p = pad(fw_ws.astype(np.int32))
-        rc_ws_p = pad(rc_ws.astype(np.int32))
-
-        inactive = (flags & (FLAG_SKIP | FLAG_HOST_ONLY)) != 0
-        wide_m = ((flags & FLAG_WIDE) != 0) & ~inactive
-        windowed = ~(wide_m | inactive)
-
-        def local_iv(ivg, ws):
-            used = ivg[:, :, 1] > 0
-            loc = np.where(
-                (used & windowed[:n, None])[:, :, None], ivg - ws[:n, None, None], 0
-            ).astype(np.int32)
-            return pad(loc)
-
-        fw_ivl = local_iv(fw_ivg, fw_ws)
-        rc_ivl = local_iv(rc_ivg, rc_ws)
-        # windowed dispatch ignores starts of wide/inactive reads
-        fw_ws_p[:n][~windowed[:n]] = 0
-        rc_ws_p[:n][~windowed[:n]] = 0
-
-        depths = depths_for(lengths, L)
-        if self._use_pallas:
-            row_sm = make_row_sm(self.submat, s2c_p, depths).astype(np.int32)
-            payload = jnp.asarray(row_sm)
-        else:
-            payload = (jnp.asarray(s2c_p), jnp.asarray(depths))
-        outs_win = self._score_win_fn(
-            self._fw_pad,
-            self._rc_pad,
-            jnp.asarray(fw_ws_p),
-            jnp.asarray(rc_ws_p),
-            jnp.asarray(fw_ivl),
-            jnp.asarray(rc_ivl),
-            payload,
-            jnp.asarray(lengths),
-        )
-        wide = list(np.flatnonzero(wide_m[:n]))
-        K = fw_ivg.shape[1]
-        wide_handles = []
-        for i in range(0, len(wide), FULL_BATCH):
-            chunk = wide[i : i + FULL_BATCH]
-            m = len(chunk)
-            fwi = np.zeros((FULL_BATCH, K, 2), np.int32)
-            rci = np.zeros((FULL_BATCH, K, 2), np.int32)
-            fwi[:m] = fw_ivg[chunk]
-            rci[:m] = rc_ivg[chunk]
-            ln_w = np.ones(FULL_BATCH, np.int32)
-            ln_w[:m] = lengths[chunk]
-            if self._use_pallas:
-                pay_w = np.zeros((FULL_BATCH,) + row_sm.shape[1:], np.int32)
-                pay_w[:m] = row_sm[chunk]
-                pay_w = jnp.asarray(pay_w)
-            else:
-                s2c_w = np.full((FULL_BATCH, L), 4, np.int32)
-                s2c_w[:m] = s2c_p[chunk]
-                d_w = depths_for(ln_w, L)
-                pay_w = (jnp.asarray(s2c_w), jnp.asarray(d_w))
-            outs = self._score_fn(
-                self._fw,
-                self._rc,
-                jnp.asarray(fwi),
-                jnp.asarray(rci),
-                pay_w,
-                jnp.asarray(ln_w),
-            )
-            wide_handles.append((outs, chunk))
-        return (outs_win, fw_ws_p, rc_ws_p, wide_handles, None, n)
-
-    @staticmethod
-    def collect_arrays(handle):
-        """Materialise a packed batch: (fb, fa, rb, ra) int64 arrays [n]."""
-        outs_win, fw_starts, rc_starts, wide_handles, _, n = handle
-        arr = np.asarray(outs_win)  # [2, 2B]
-        B = len(fw_starts)
-        fb = arr[0, :B].astype(np.int64)
-        fa = (arr[1, :B] + fw_starts).astype(np.int64)
-        rb = arr[0, B:].astype(np.int64)
-        ra = (arr[1, B:] + rc_starts).astype(np.int64)
-        for outs, chunk in wide_handles:
-            w = np.asarray(outs)  # [4, FULL_BATCH]
-            m = len(chunk)
-            fb[chunk] = w[0, :m]
-            fa[chunk] = w[1, :m]
-            rb[chunk] = w[2, :m]
-            ra[chunk] = w[3, :m]
-        return fb[:n], fa[:n], rb[:n], ra[:n]
-
-    @staticmethod
-    def collect(handle):
-        """Materialise a dispatched batch into per-read StrandScore pairs."""
-        outs_win, fw_starts, rc_starts, wide_handles, host_only, n = handle
-        if n == 0:
+    def collect(self, handle):
+        """Materialise a mask-based batch into per-read StrandScore pairs
+        (None entries = 'score on host': fragmented mask or over-wide band)."""
+        host_only = handle[-1]
+        if not handle[1]:
             return []
-        arr = np.asarray(outs_win)  # [2, 2B]
-        B = len(fw_starts)
-        fb = arr[0, :B].copy()
-        fa = arr[1, :B] + fw_starts
-        rb = arr[0, B:].copy()
-        ra = arr[1, B:] + rc_starts
-        for outs, chunk in wide_handles:
-            w = np.asarray(outs)  # [4, FULL_BATCH]
-            for k, b in enumerate(chunk):
-                fb[b], fa[b], rb[b], ra[b] = w[0, k], w[1, k], w[2, k], w[3, k]
+        fb, fa, rb, ra = self.collect_arrays(handle[:-1])
         res = []
-        for b in range(n):
+        for b in range(len(fb)):
             if host_only[b]:
                 res.append(None)
             else:
@@ -469,7 +423,7 @@ class Pass1Scorer:
     def score_batch(self, reads, fw_masks, rc_masks):
         """reads: list[str] (already trimmed); masks: per-read bool arrays.
         Returns list of (fw StrandScore | None, rc StrandScore | None); None
-        entries mean 'score on host' (mask too fragmented)."""
+        entries mean 'score on host'."""
         return self.collect(self.dispatch(reads, fw_masks, rc_masks))
 
 

@@ -124,6 +124,87 @@ def batch_last_row(
     return snap
 
 
+@functools.partial(jax.jit, static_argnames=("sg5",))
+def batch_last_row_rowsm(
+    s1c: jax.Array,      # [B, W] per-read reference codes 0..4
+    mask: jax.Array,     # [B, W] bool open columns per read
+    row_sm: jax.Array,   # [B, L, 5] int32 per-row substitution score vectors
+    lengths: jax.Array,  # [B] int32 read lengths (>=1)
+    sg5: bool = True,
+) -> jax.Array:
+    """:func:`batch_last_row` with the per-row substitution scores
+    precomputed (``row_sm[b, r, i] = submat[depth(b,r), i, s2c[b,r]]``) —
+    the form the entry-based device engine uses so per-entry PSSM selection
+    (fw vs rc matrix) costs one gather instead of a second program."""
+    B, W = mask.shape
+    L = row_sm.shape[1]
+    cols = jnp.arange(W, dtype=jnp.int32)
+    s1c2d = s1c
+
+    cell0 = jnp.take_along_axis(row_sm[:, 0, :], s1c2d, axis=1)
+    row0 = jnp.where(mask, cell0, jnp.int32(HIM))
+
+    snap0 = row0  # snapshot if length == 1
+    init = (row0, jnp.full_like(row0, _LOW), row0, snap0)
+
+    upd_mask = jnp.concatenate([mask[:, 1:], jnp.zeros((B, 1), bool)], axis=1)
+
+    def step(carry, row):
+        prev, prev2, rbest_val, snap = carry
+
+        row_sm_r = jax.lax.dynamic_index_in_dim(
+            row_sm, row, axis=1, keepdims=False
+        )  # [B, 5]
+        cell_sub = jnp.take_along_axis(row_sm_r, s1c2d, axis=1)
+
+        sg5_pen = jnp.int32(GOP) + jnp.int32(GEP) * (row + 1) if sg5 else jnp.int32(0)
+
+        m = prev + GEP * cols[None, :]
+        cand = jnp.full((B, W), _LOW, dtype=jnp.int32)
+        cand = cand.at[:, : W - 2].set(jnp.where(mask[:, 2:], m[:, : W - 2], _LOW))
+        cand = cand.at[:, 0].set(m[:, 0])
+        run_max = jax.lax.cummax(cand, axis=1)
+        gap_col = jnp.full((B, W), jnp.int32(HIM))
+        gap_col = gap_col.at[:, 2:].set(
+            run_max[:, : W - 2] - GOP - GEP * (cols[None, 2:] - 1)
+        )
+
+        def upd(rv):
+            cand_r = prev2 + GEP * (row - 2)
+            return jnp.where(upd_mask & (cand_r > rv), cand_r, rv)
+
+        rbest_val = jax.lax.cond(row >= 2, upd, lambda rv: rv, rbest_val)
+        gap_row = jnp.full((B, W), jnp.int32(HIM))
+        gap_row = jnp.where(
+            row >= 2,
+            gap_row.at[:, 1:].set(rbest_val[:, :-1] - GOP - GEP * (row - 1)),
+            gap_row,
+        )
+
+        diag = jnp.concatenate([jnp.full((B, 1), _LOW), prev[:, :-1]], axis=1)
+        start_new = -sg5_pen if sg5 else jnp.int32(0)
+
+        is_start = (
+            (start_new > diag) & (start_new > gap_col) & (start_new > gap_row)
+        )
+        is_diag = (diag >= gap_col) & (diag >= gap_row)
+        is_gc = gap_col >= gap_row
+        base = jnp.where(is_diag, diag, jnp.where(is_gc, gap_col, gap_row))
+        new_row = jnp.where(is_start, start_new, cell_sub + base)
+
+        c0 = cell_sub[:, 0] - sg5_pen
+        new_row = new_row.at[:, 0].set(c0)
+        new_row = jnp.where(mask, new_row, jnp.int32(HIM))
+
+        snap = jnp.where((lengths - 1 == row)[:, None], new_row, snap)
+        return (new_row, prev, rbest_val, snap), None
+
+    (_, _, _, snap), _ = jax.lax.scan(
+        step, init, jnp.arange(1, L, dtype=jnp.int32)
+    )
+    return snap
+
+
 def depths_for(lengths: np.ndarray, L: int) -> np.ndarray:
     """Depth slot per (read, row), clipped for padded rows."""
     from ..constants import PSSM_DEPTH

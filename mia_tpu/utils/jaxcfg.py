@@ -1,17 +1,18 @@
 """Process-wide JAX configuration for the device engines.
 
 The reference is a single ahead-of-time compiled C binary; our equivalent of
-"compile once" is a compilation cache.  Kernel shapes are deliberately
-bucketed (see core/jax_engine.py) so the cache stays small and hot.
+"compile once" is the persistent compilation cache.  Kernel shapes are
+process-constant by design (see core/jax_engine.py) so the cache holds ONE
+program per (reference bucket, backend) pair.
 
-On the tunneled axon TPU backend the *server* keeps its own compile cache
-("compile-cache v14" in the platform version string): re-compiles of a
-previously seen module return in ~2 s, which is what makes warm runs fast.
-JAX's client-side persistent cache is measurably HARMFUL there — executables
-deserialized from the client disk cache hang at dispatch (reproduced: a
-kernel that runs in 32 ms via a fresh/server-cached compile never returns
-when loaded from the client cache).  So the client cache is strictly opt-in
-via MIA_TPU_CACHE_DIR; by default we rely on the server cache.
+On the tunneled axon TPU backend the server keeps its own compile cache, but
+it is unreliable under multi-tenancy (measured: the same program compiles in
+5 s or 54 s run-to-run as entries evict).  The client-side persistent cache
+removes that lottery: warm runs deserialize in ~0.1 s.  An earlier stack
+(round 2) hung at dispatch when loading client-cached executables; that no
+longer reproduces (verified with full 20k-read assemblies, byte-identical
+output), so the client cache is ON by default — set MIA_TPU_NO_CACHE=1 to
+fall back to server-side compiles only, or MIA_TPU_CACHE_DIR to relocate it.
 """
 from __future__ import annotations
 
@@ -21,15 +22,17 @@ _done = False
 
 
 def setup_jax_cache() -> None:
-    """Enable the client persistent compilation cache IF the user opted in
-    by setting MIA_TPU_CACHE_DIR (idempotent; safe on any backend)."""
+    """Enable the client persistent compilation cache (idempotent; safe on
+    any backend).  Opt out with MIA_TPU_NO_CACHE=1."""
     global _done
     if _done:
         return
     _done = True
-    cache_dir = os.environ.get("MIA_TPU_CACHE_DIR")
-    if not cache_dir:
+    if os.environ.get("MIA_TPU_NO_CACHE"):
         return
+    cache_dir = os.environ.get("MIA_TPU_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "mia-tpu", "xla"
+    )
     try:
         os.makedirs(cache_dir, exist_ok=True)
         import jax

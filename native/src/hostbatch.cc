@@ -173,6 +173,37 @@ int accumulate_bands(const Kpa& kpa, const char* seq, int frag_len, int k,
   return total;
 }
 
+// Runs fn(i) for i in [0, n) across n_threads; a throwing iteration (e.g.
+// std::bad_alloc from a plane resize) is reported through on_err(i) instead
+// of std::terminate'ing the process, so allocation failure degrades to the
+// caller's per-read host-fallback path.
+template <typename Fn, typename OnErr>
+void mia_parallel_for(int n, int n_threads, Fn fn, OnErr on_err) {
+  auto safe = [&](int i) {
+    try {
+      fn(i);
+    } catch (...) {
+      on_err(i);
+    }
+  };
+  if (n_threads <= 1 || n < 2) {
+    for (int i = 0; i < n; ++i) safe(i);
+    return;
+  }
+  std::atomic<int> next(0);
+  auto worker = [&] {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      safe(i);
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
+  worker();
+  for (auto& t : threads) t.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -321,14 +352,14 @@ void mia_p1_finish(void* h, int n, const char* arena, const int64_t* off,
                    const uint8_t* smidx, const int32_t* dev_best,
                    const int32_t* dev_aec, const int32_t* ivg,
                    int K, int32_t* out_meta, char* out_ref, char* out_frag,
-                   int64_t cap) {
+                   int64_t cap, int n_threads) {
   Ctx* ctx = static_cast<Ctx*>(h);
   const int64_t len1 = ctx->len1;
-  std::vector<uint8_t> mask;
-  std::vector<int8_t> s2c;
-  std::vector<int32_t> score, trace;
 
-  for (int b = 0; b < n; ++b) {
+  mia_parallel_for(n, n_threads, [&](int b) {
+    static thread_local std::vector<uint8_t> mask;
+    static thread_local std::vector<int8_t> s2c;
+    static thread_local std::vector<int32_t> score, trace;
     const char* seq2 = arena + off[b];
     const int len2 = lens[b];
     const int8_t* s1c = strand[b] ? ctx->rc_c.data() : ctx->fw_c.data();
@@ -408,7 +439,14 @@ void mia_p1_finish(void* h, int n, const char* arena, const int64_t* off,
       meta[3] = pwlen;
       break;
     }
-  }
+  }, [&](int b) {
+    // worker threw (e.g. bad_alloc): pwlen = -1 signals the caller to rerun
+    // this read on its per-read host path
+    int32_t* meta = out_meta + (int64_t)b * 4;
+    meta[0] = kHim2;
+    meta[1] = meta[2] = 0;
+    meta[3] = -1;
+  });
 }
 
 }  // extern "C"
@@ -456,37 +494,6 @@ int fill_strand(const Ctx* ctx, bool rc, const IvBuf& iv, const int8_t* s2c,
   return w;
 }
 
-// Runs fn(i) for i in [0, n) across n_threads; a throwing iteration (e.g.
-// std::bad_alloc from a plane resize) is reported through on_err(i) instead
-// of std::terminate'ing the process, so allocation failure degrades to the
-// caller's per-read host-fallback path.
-template <typename Fn, typename OnErr>
-void parallel_for(int n, int n_threads, Fn fn, OnErr on_err) {
-  auto safe = [&](int i) {
-    try {
-      fn(i);
-    } catch (...) {
-      on_err(i);
-    }
-  };
-  if (n_threads <= 1 || n < 2) {
-    for (int i = 0; i < n; ++i) safe(i);
-    return;
-  }
-  std::atomic<int> next(0);
-  auto worker = [&] {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) return;
-      safe(i);
-    }
-  };
-  std::vector<std::thread> threads;
-  for (int t = 1; t < n_threads; ++t) threads.emplace_back(worker);
-  worker();
-  for (auto& t : threads) t.join();
-}
-
 }  // namespace
 
 extern "C" {
@@ -511,7 +518,7 @@ void mia_p1_solve(void* h, int n, const char* arena, const int64_t* off,
   const int64_t len1 = ctx->len1;
   const int32_t* sm = ctx->submat[0].data();
 
-  parallel_for(n, n_threads, [&](int b) {
+  mia_parallel_for(n, n_threads, [&](int b) {
     static thread_local SolveBufs bufs;
     static thread_local IvBuf fb, rb;
     const char* seq = arena + off[b];
@@ -612,7 +619,7 @@ void mia_rei_solve(void* h, int n, const char* arena, const int64_t* off,
                    int64_t cap) {
   Ctx* ctx = static_cast<Ctx*>(h);
 
-  parallel_for(n, n_threads, [&](int b) {
+  mia_parallel_for(n, n_threads, [&](int b) {
     static thread_local SolveBufs bufs;
     const char* seq = arena + off[b];
     const int len2 = lens[b];
