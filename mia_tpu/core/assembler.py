@@ -542,7 +542,8 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         collapse_FSDB(fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept)
 
     reiterate_assembly(
-        last_assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat, rcancsubmat
+        last_assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat,
+        rcancsubmat, engine=cfg.engine,
     )
     pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
     _log("Repeat and score filtering")
@@ -578,7 +579,8 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                     fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
                 )
             reiterate_assembly(
-                assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat, rcancsubmat
+                assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat,
+                rcancsubmat, engine=cfg.engine,
             )
             pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
             _log("Repeat and score filtering")

@@ -210,6 +210,7 @@ def reiterate_assembly(
     a: Alignment,
     ancsubmat: np.ndarray,
     rcancsubmat: np.ndarray,
+    engine: str = "native",
 ) -> None:
     """Re-align every FSDB read against the new consensus
     (src/mia_main.c:24-280).
@@ -217,7 +218,13 @@ def reiterate_assembly(
     Known-strand reads realign in a [as-50, ae+50] window; unknown-strand
     reads under -D re-probe both strands full-length.  Reads normalised to
     reference orientation score with the revcom PSSM so end-damage stays on
-    the right molecular end."""
+    the right molecular end.
+
+    With ``engine == "jax"`` the window DP scoring for every device-sized
+    window runs batched on the TPU (one entry per read against the new
+    consensus, the read's strand picking the fw/rc PSSM) and only the
+    score-verified margin-window traceback stays on the native threads;
+    windows wider than the device window fall back to the native solver."""
     ref = maln.ref
     ref_len = len(new_ref_seq)
     ref.seq = new_ref_seq
@@ -368,9 +375,27 @@ def reiterate_assembly(
                         _reprobe(fs)
                 reprobed = True
             # window sizes are known up front: group reads by whether their
-            # traceback fits the default arena, solve each group batched
+            # window fits the device scorer, then by whether their traceback
+            # fits the default arena; solve each group batched
             narrow: list = []
             wide: list = []
+            device: list = []
+            scorer = None
+            if engine == "jax":
+                from ..utils.encoding import encode_seq
+                from .jax_engine import Pass1Scorer, WIN_W, L_MAX
+
+                try:
+                    scorer = Pass1Scorer(
+                        encode_seq(ref.seq[: ref.wrap_seq_len]),
+                        encode_seq(ref.seq[: ref.wrap_seq_len]),
+                        ref.wrap_seq_len,
+                        ancsubmat,
+                        rcancsubmat,
+                        warm=False,
+                    )
+                except Exception:
+                    scorer = None  # no usable device: all-native realign
             for fs in fsdb.fss:
                 if not fs.strand_known:
                     continue
@@ -379,8 +404,43 @@ def reiterate_assembly(
                 job = (fs, lo, hi)
                 if (hi - lo) + len2 + 2 > bh.TRACE_CAP:
                     wide.append(job)
+                elif (
+                    scorer is not None
+                    and hi - max(lo - 2, 0) <= WIN_W
+                    and len2 <= L_MAX
+                ):
+                    device.append(job)
                 else:
                     narrow.append(job)
+            # device-sized windows: dispatch ALL chunks asynchronously, then
+            # run the native groups (the TPU scores while the host solves)
+            dev_handles: list = []
+            if device:
+                from .jax_engine import MAX_INTERVALS, pack_s2c
+
+                E = scorer.E
+                for c0 in range(0, len(device), E):
+                    chunk = device[c0 : c0 + E]
+                    m = len(chunk)
+                    arena, off, lens = bh.pack_reads([fs.seq for fs, _, _ in chunk])
+                    los = np.fromiter((lo for _, lo, _ in chunk), np.int32, m)
+                    his = np.fromiter((hi for _, _, hi in chunk), np.int32, m)
+                    ws = np.maximum(los - 2, 0)
+                    # K must match the pass-1 shape exactly or the program
+                    # recompiles (shape-keyed jit cache)
+                    ivl = np.zeros((m, MAX_INTERVALS, 2), np.int32)
+                    ivl[:, 0, 0] = los - ws
+                    ivl[:, 0, 1] = his - ws
+                    smidx = np.fromiter(
+                        (1 if fs.rc else 0 for fs, _, _ in chunk), np.int8, m
+                    )
+                    s2c = pack_s2c(arena, off[:-1], lens)
+                    handle = scorer.dispatch_entries(
+                        np.zeros(m, np.int8), ws, ivl, s2c, lens, smidx
+                    )
+                    dev_handles.append(
+                        (chunk, handle, arena, off, lens, ws, los, his, smidx)
+                    )
             CHUNK = 8192
             # bound per-chunk output-arena allocation (2 arenas of n*cap
             # bytes): the wide group's cap is the full reference width, so
@@ -410,6 +470,37 @@ def reiterate_assembly(
                             ref_a[j * cap : j * cap + n],
                             frag_a[j * cap : j * cap + n],
                         )
+            # drain the device chunks: verified margin-window traceback on
+            # the native threads (mia_p1_finish), results in global coords
+            for chunk, handle, arena, off, lens, ws, los, his, smidx in dev_handles:
+                best, aecl = scorer.collect_entries(handle)
+                aec = (aecl + ws).astype(np.int32)
+                m = len(chunk)
+                ivg = np.zeros((m, 1, 2), np.int32)
+                ivg[:, 0, 0] = los
+                ivg[:, 0, 1] = his
+                meta, ref_a, frag_a = bh.finish(
+                    arena,
+                    off[:-1],
+                    lens,
+                    np.zeros(m, np.uint8),
+                    smidx.astype(np.uint8),
+                    best.astype(np.int32),
+                    aec,
+                    ivg,
+                )
+                cap = bh.TRACE_CAP
+                for j, (fs, _, _) in enumerate(chunk):
+                    n = int(meta[j, 3])
+                    if n < 0:
+                        continue  # native finish failed: per-read path below
+                    native_results[id(fs)] = (
+                        int(meta[j, 0]),
+                        int(meta[j, 1]),
+                        int(meta[j, 2]),
+                        ref_a[j * cap : j * cap + n],
+                        frag_a[j * cap : j * cap + n],
+                    )
             bh.close()
 
     for fs in fsdb.fss:

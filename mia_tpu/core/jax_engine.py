@@ -88,6 +88,18 @@ def mask_intervals(mask: np.ndarray) -> np.ndarray | None:
     return out
 
 
+def pack_s2c(arena: bytes, off: np.ndarray, lens: np.ndarray, L: int = L_MAX) -> np.ndarray:
+    """[n, L] int8 read codes from a packed read arena (one vectorised
+    gather; pad code 4)."""
+    from ..utils.encoding import BASE2INX
+
+    buf = np.frombuffer(arena, np.uint8)
+    cols = np.arange(L, dtype=np.int64)[None, :]
+    idx = np.minimum(off[:, None] + cols, max(len(buf) - 1, 0))
+    valid = cols < lens[:, None]
+    return np.where(valid, BASE2INX[buf[idx]], 4).astype(np.int8)
+
+
 def device_depths(lengths, L: int):
     """PSSM depth slot per (entry, row), on device (find_sm_depth,
     src/pssm.c:36-46; identical to ops.dp_jax.depths_for)."""
