@@ -196,6 +196,8 @@ def parse_args(argv: list[str]) -> MiaConfig | None:
             cfg.final_only = True
         elif flag == "-" and arg == "--engine":
             cfg.engine = need_val()
+        elif flag == "-" and arg == "--dp":
+            cfg.dp_devices = int(need_val())
         else:
             sys.stdout.write(help_text())
             raise SystemExit(0)
@@ -210,6 +212,9 @@ def parse_args(argv: list[str]) -> MiaConfig | None:
 def main(argv: list[str] | None = None) -> int:
     import time
 
+    from ..utils.jaxcfg import apply_platform_override
+
+    apply_platform_override()
     argv = sys.argv[1:] if argv is None else argv
     cfg = parse_args(argv)
     print(

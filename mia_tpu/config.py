@@ -40,3 +40,6 @@ class MiaConfig:
     # "numpy" = exact per-read host path, "jax" = batched device scoring
     # scoring with host traceback (same outputs)
     engine: str = "native"
+    # data-parallel device count for --engine jax: entries shard over a
+    # ("dp",) mesh; 0 = single device, -1 = all local devices
+    dp_devices: int = 0

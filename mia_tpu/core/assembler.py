@@ -157,11 +157,13 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         )
         if bhost is None:
             use_native = False  # no native lib: exact per-read path
+    mesh = None
     if use_jax:
-        from .jax_engine import Pass1Scorer
+        from .jax_engine import Pass1Scorer, make_dp_mesh
 
+        mesh = make_dp_mesh(cfg.dp_devices)
         scorer = Pass1Scorer(
-            fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat
+            fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat, mesh=mesh
         )
 
     # asynchronous device pipeline: batches dispatch without blocking and
@@ -543,7 +545,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
 
     reiterate_assembly(
         last_assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat,
-        rcancsubmat, engine=cfg.engine,
+        rcancsubmat, engine=cfg.engine, mesh=mesh,
     )
     pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
     _log("Repeat and score filtering")
@@ -580,7 +582,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 )
             reiterate_assembly(
                 assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat,
-                rcancsubmat, engine=cfg.engine,
+                rcancsubmat, engine=cfg.engine, mesh=mesh,
             )
             pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
             _log("Repeat and score filtering")

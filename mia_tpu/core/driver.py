@@ -211,6 +211,7 @@ def reiterate_assembly(
     ancsubmat: np.ndarray,
     rcancsubmat: np.ndarray,
     engine: str = "native",
+    mesh=None,
 ) -> None:
     """Re-align every FSDB read against the new consensus
     (src/mia_main.c:24-280).
@@ -392,6 +393,7 @@ def reiterate_assembly(
                         ref.wrap_seq_len,
                         ancsubmat,
                         rcancsubmat,
+                        mesh=mesh,
                         warm=False,
                     )
                 except Exception:

@@ -53,7 +53,16 @@ from ..ops.dp_numpy import Alignment
 from ..utils.encoding import encode_seq
 
 SCORE_BATCH = 8192           # reads per pass-1 batch (2 entries each)
-E_BATCH = 2 * SCORE_BATCH    # entries per device dispatch
+
+
+def default_batch() -> int:
+    """Reads per batch; MIA_SCORE_BATCH overrides (smaller batches keep the
+    CPU-backend tests and the virtual-mesh dry run fast — every dispatch
+    pads to the full batch)."""
+    import os
+
+    return int(os.environ.get("MIA_SCORE_BATCH", SCORE_BATCH))
+
 MAX_INTERVALS = 16
 # per-read reference window for the banded scorer; strands whose band spans
 # more than WIN_W columns are solved by the native engine instead
@@ -86,6 +95,24 @@ def mask_intervals(mask: np.ndarray) -> np.ndarray | None:
     for k, (s, e) in enumerate(zip(starts, ends)):
         out[k] = (s, e)
     return out
+
+
+def make_dp_mesh(n_dp: int):
+    """("dp",) mesh over the first ``n_dp`` local devices (-1 = all local
+    devices); None when a single device would result.  The device count is
+    rounded down to a divisor of E_BATCH so the entry axis shards evenly."""
+    if n_dp == 0:
+        return None
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    n = len(devs) if n_dp < 0 else min(n_dp, len(devs))
+    while n > 1 and (2 * default_batch()) % n:
+        n -= 1
+    if n <= 1:
+        return None
+    return Mesh(np.array(devs[:n]), ("dp",))
 
 
 def pack_s2c(arena: bytes, off: np.ndarray, lens: np.ndarray, L: int = L_MAX) -> np.ndarray:
@@ -201,7 +228,7 @@ class Pass1Scorer:
         len1: int,
         submat,
         submat_b=None,
-        batch: int = SCORE_BATCH,
+        batch: int | None = None,
         mesh=None,
         warm: bool = True,
     ):
@@ -213,8 +240,8 @@ class Pass1Scorer:
         setup_jax_cache()
 
         self.len1 = len1
-        self.batch = batch
-        self.E = 2 * batch
+        self.batch = batch or default_batch()
+        self.E = 2 * self.batch
         # reference pads to a REF_BUCKET multiple + WIN_W of tail padding so
         # per-read window gathers never run off the end (gathered junk
         # columns are masked) and consensus-length drift between iterations
@@ -234,10 +261,16 @@ class Pass1Scorer:
         self._sms = jnp.asarray(sms)
         self._use_pallas = jax.devices()[0].platform != "cpu"
         self._mesh = mesh
+        # Pallas batch-block: largest power of two <= BLOCK_B dividing the
+        # per-device entry count
+        per_dev = self.E // (mesh.size if mesh is not None else 1)
+        bb = BLOCK_B
+        while bb > 1 and per_dev % bb:
+            bb //= 2
         if mesh is not None and mesh.size > 1:
-            self._fn = _mesh_fn(mesh, self._use_pallas, BLOCK_B)
+            self._fn = _mesh_fn(mesh, self._use_pallas, bb)
         else:
-            self._fn = _plain_fn(self._use_pallas, BLOCK_B)
+            self._fn = _plain_fn(self._use_pallas, bb)
         self._warmup_thread = None
         if warm:
             self._warmup_thread = threading.Thread(target=self._warmup, daemon=True)

@@ -21,6 +21,22 @@ import os
 _done = False
 
 
+def apply_platform_override() -> None:
+    """Honor MIA_JAX_PLATFORM (e.g. "cpu") even when a site plugin pins
+    JAX_PLATFORMS at interpreter start: jax.config can still be updated as
+    long as no backend has been initialised.  Used by the CPU-backend tests
+    and the virtual-mesh dry run."""
+    plat = os.environ.get("MIA_JAX_PLATFORM")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 def setup_jax_cache() -> None:
     """Enable the client persistent compilation cache (idempotent; safe on
     any backend).  Opt out with MIA_TPU_NO_CACHE=1."""

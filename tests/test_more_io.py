@@ -82,18 +82,16 @@ def test_align_reader(tmp_path):
     assert b.frag_seq == "ACCT"
 
 
-@pytest.mark.skipif(
-    os.environ.get("MIA_TPU_SLOW_TESTS") != "1",
-    reason="CPU-backend XLA compile makes this take minutes; set "
-    "MIA_TPU_SLOW_TESTS=1 (verified routinely on real TPU hardware)",
-)
 def test_jax_engine_golden(tmp_path):
     """Full assembly with --engine jax (CPU backend) must reproduce the
-    golden maln files."""
+    golden maln files.  MIA_SCORE_BATCH keeps the padded batch small so the
+    CPU-backend kernel compiles and runs in seconds."""
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    env["MIA_JAX_PLATFORM"] = "cpu"  # the axon site plugin overrides env
+    env["MIA_SCORE_BATCH"] = "64"
     subprocess.run(
         [
             sys.executable, "-m", "mia_tpu.cli.mia",

@@ -95,3 +95,45 @@ def test_sharded_step_matches_single_device():
 def test_mesh_uses_all_devices():
     mesh = make_mesh(n_dp=8, n_sp=1)
     assert mesh.shape == {"dp": 8, "sp": 1}
+
+
+def test_mesh_scorer_matches_single_device():
+    """The PRODUCTION dp-sharded entry scorer (jax_engine._mesh_fn) must
+    return exactly the single-device results."""
+    import jax
+    from jax.sharding import Mesh
+
+    import mia_tpu.core.jax_engine as je
+    from mia_tpu.ops.pssm import init_flatsubmat, revcom_submat
+
+    rng = np.random.default_rng(5)
+    len1 = 700
+    fw = rng.integers(0, 4, len1).astype(np.int8)
+    rc = rng.integers(0, 4, len1).astype(np.int8)
+    fpsm = init_flatsubmat().astype(np.int32)
+    rpsm = revcom_submat(fpsm).astype(np.int32)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+
+    single = je.Pass1Scorer(fw, rc, len1, fpsm, rpsm, batch=32, warm=False)
+    sharded = je.Pass1Scorer(
+        fw, rc, len1, fpsm, rpsm, batch=32, mesh=mesh, warm=False
+    )
+
+    n = 48
+    ref_sel = rng.integers(0, 2, n).astype(np.int8)
+    smidx = rng.integers(0, 2, n).astype(np.int8)
+    lens = rng.integers(8, 60, n).astype(np.int32)
+    starts = rng.integers(0, len1 - je.WIN_W + 1, n).astype(np.int32)
+    ivl = np.zeros((n, je.MAX_INTERVALS, 2), np.int32)
+    ivl[:, 0, 0] = 2
+    ivl[:, 0, 1] = rng.integers(80, je.WIN_W, n)
+    s2c = rng.integers(0, 5, (n, je.L_MAX)).astype(np.int8)
+
+    b1, a1 = single.collect_entries(
+        single.dispatch_entries(ref_sel, starts, ivl, s2c, lens, smidx)
+    )
+    b2, a2 = sharded.collect_entries(
+        sharded.dispatch_entries(ref_sel, starts, ivl, s2c, lens, smidx)
+    )
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(a1, a2)
