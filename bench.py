@@ -1,137 +1,346 @@
-"""Benchmark: banded semi-global DP throughput on one chip.
+"""Benchmark: end-to-end assembly throughput + kernel numbers on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": "e2e_reads_per_s_per_chip", "value": N, "unit": "reads/s",
+   "vs_baseline": N, "detail": {...}}
 
-Baseline: the reference C implementation's single-core scalar DP measured at
-~49 Mcells/s (gcc -O2, mpieva/mapping-iterative-assembler dyn_prog on the
-sim200 circular-mtDNA workload: 0.400 Gcells pass-1 in 8.2s).
+The workload is BASELINE config 3 shaped: 20k simulated damaged reads vs a
+16.5 kb circular reference, k-mer filtered, iterated to convergence.  The
+baseline is the reference C implementation BUILT AND TIMED BY THIS SCRIPT
+on the same workload on this machine (single core, -O2); if no C toolchain
+is available a stored measurement of the same recipe is used and labeled.
 
-The run asserts Pallas-kernel vs exact-host-engine score equality on a
-sub-batch before timing, so the number is for the bit-exact kernel.
+Correctness gate: the maln output of every timed engine must be
+byte-identical (minus the timestamp header) to the C binary's (or, without
+a C binary, engines must agree with each other).
+
+detail carries: per-engine wall times (cold + warm for the device engine —
+cold includes the one-time XLA compile), the banded-window kernel Gcells/s
+(the shape production batches actually run, WIN_W=384) and the full-width
+kernel Gcells/s (the round-1/2 headline shape), and a dp=1 vs dp=8
+virtual-CPU-mesh scaling ratio (correctness stand-in only: the 8 "devices"
+share this host's cores, so it measures sharding overhead, not ICI scaling).
 """
 import json
+import os
+import shutil
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
 
-C_BASELINE_GCELLS = 0.049  # single-core C reference (see module docstring)
+REPO = os.path.dirname(os.path.abspath(__file__))
+# same recipe as this script's C build, measured on this box when no
+# toolchain is available at bench time
+STORED_C_SECONDS_20K = 66.5
+N_READS = 20000
+
+
+def _gen_workload(d: str) -> tuple[str, str]:
+    from mia_tpu.models.simulate import SimConfig, random_reference, simulate_reads
+
+    ref = random_reference(16569, seed=7)
+    ref_fn = os.path.join(d, "mt.fna")
+    with open(ref_fn, "w") as f:
+        f.write(">mt_sim simulated\n")
+        for i in range(0, len(ref), 70):
+            f.write(ref[i : i + 70] + "\n")
+    frag_fn = os.path.join(d, "r20k.fastq")
+    with open(frag_fn, "w") as f:
+        for name, seq, qual in simulate_reads(
+            ref, SimConfig(num_reads=N_READS, mean_len=60, seed=3)
+        ):
+            f.write(f"@{name}\n{seq}\n+\n{qual}\n")
+    return ref_fn, frag_fn
+
+
+def _build_c_reference() -> str | None:
+    """Compile the reference C mia into a temp tree; None if not possible."""
+    if os.path.exists("/tmp/refsrc/src/mia"):
+        return "/tmp/refsrc/src/mia"
+    src = "/root/reference"
+    if not os.path.isdir(src) or shutil.which("gcc") is None:
+        return None
+    try:
+        shutil.copytree(src, "/tmp/refsrc", dirs_exist_ok=True)
+        sdir = "/tmp/refsrc/src"
+        with open(os.path.join(sdir, "config.h"), "w") as f:
+            f.write(
+                '#define PACKAGE_NAME "MIA"\n#define PACKAGE_VERSION "1.0"\n'
+                '#define PACKAGE_BUGREPORT "x"\n'
+            )
+        cfiles = (
+            "myers_align.c fsdb.c io.c kmer.c map_align.c map_alignment.c "
+            "mia.c pssm.c mia_main.c"
+        ).split()
+        subprocess.run(
+            ["gcc", "-std=gnu89", "-O2", "-DDATA_PATH=\"/tmp/refsrc/share\"",
+             "-include", "config.h", "-o", "mia", *cfiles, "-lm"],
+            cwd=sdir, check=True, capture_output=True, timeout=300,
+        )
+        return os.path.join(sdir, "mia")
+    except Exception:
+        return None
+
+
+def _norm_maln(path: str) -> bytes:
+    with open(path, "rb") as fh:
+        return b"\n".join(fh.read().split(b"\n")[1:])
+
+
+def _run_ours(ref_fn, frag_fn, engine, tag, timeout=900) -> tuple[float, str] | None:
+    d = tempfile.mkdtemp(prefix=f"bench_{tag}_")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    t0 = time.time()
+    try:
+        subprocess.run(
+            [sys.executable, "-m", "mia_tpu.cli.mia", "-r", ref_fn, "-f",
+             frag_fn, "-c", "-k", "12", "-m", os.path.join(d, "out.maln"),
+             "--engine", engine],
+            env=env, check=True, capture_output=True, timeout=timeout,
+        )
+    except Exception:
+        return None
+    return time.time() - t0, os.path.join(d, "out.maln.1")
+
+
+def _kernel_numbers(detail: dict) -> None:
+    """Banded-window and full-width kernel Gcells/s on the local chip."""
+    import jax
+    import jax.numpy as jnp
+
+    import mia_tpu.core.jax_engine as je
+    from mia_tpu.ops.pssm import init_flatsubmat
+
+    rng = np.random.default_rng(0)
+    len1 = 16825
+    fw = rng.integers(0, 4, len1).astype(np.int8)
+    sm = init_flatsubmat().astype(np.int32)
+    sc = je.Pass1Scorer(fw, fw, len1, sm, warm=False)
+    E, K, L, W = sc.E, je.MAX_INTERVALS, je.L_MAX, je.WIN_W
+    s2c = rng.integers(0, 4, (E, L)).astype(np.int8)
+    ln = rng.integers(30, 120, E).astype(np.int32)
+    ws = rng.integers(0, len1 - W, E).astype(np.int32)
+    ivl = np.zeros((E, K, 2), np.int32)
+    ivl[:, 0, 0] = 2
+    ivl[:, 0, 1] = W
+    rsel = np.zeros(E, np.int8)
+    smi = np.zeros(E, np.int8)
+
+    # correctness gate: kernel (best, aec) vs the exact scalar-oracle engine
+    from mia_tpu.core.driver import init_alignment, set_seq1, set_seq2
+    from mia_tpu.ops import dp_numpy as dpn
+    from mia_tpu.utils.encoding import encode_seq
+
+    h = sc.dispatch_entries(rsel[:3], ws[:3], ivl[:3], s2c[:3], ln[:3], smi[:3])
+    kb, ka = sc.collect_entries(h)
+    ref_str = "ACGTN"
+    chars = np.array(list("ACGTN"))
+    for b in range(3):
+        a = init_alignment(L, len1 + 16, False, False)
+        a.submat = sm
+        set_seq1(a, "".join(chars[np.asarray(sc._refs[0, :len1])]))
+        set_seq2(a, "".join(chars[s2c[b, : ln[b]]]))
+        a.sg5 = a.sg3 = True
+        a.align_mask[: a.len1] = 0
+        a.align_mask[ws[b] + 2 : ws[b] + W] = 1
+        dpn.solve_sg(a, do_trace=False)
+        if not (a.best_score == kb[b] and a.aec == ka[b] + ws[b]):
+            detail["kernel_gate"] = "MISMATCH vs exact host engine"
+            return
+    detail["kernel_gate"] = "exact vs scalar oracle"
+
+    t0 = time.time()
+    h = sc.dispatch_entries(rsel, ws, ivl, s2c, ln, smi)
+    sc.collect_entries(h)
+    warm = time.time() - t0
+    n_it = 4
+    t0 = time.time()
+    hs = [sc.dispatch_entries(rsel, ws, ivl, s2c, ln, smi) for _ in range(n_it)]
+    for h in hs:
+        sc.collect_entries(h)
+    dt = time.time() - t0
+    detail["banded_win384_gcells_per_s"] = round(n_it * E * W * L / dt / 1e9, 2)
+    detail["banded_entries_per_s"] = round(n_it * E / dt, 1)
+
+    # full-width historical shape via the raw pallas/batched kernel
+    try:
+        from mia_tpu.ops.dp_jax import batch_last_row, depths_for
+        from mia_tpu.ops.dp_pallas import make_row_sm, pallas_last_row
+
+        B, Wf = 512, 17024
+        s1c = rng.integers(0, 4, Wf).astype(np.int32)
+        lens = rng.integers(30, 120, B).astype(np.int32)
+        s2cf = rng.integers(0, 4, (B, 256)).astype(np.int32)
+        depths = depths_for(lens, 256)
+        row_sm = make_row_sm(sm, s2cf, depths).astype(np.int32)
+        mask = np.ones((B, Wf), bool)
+        import functools
+        import jax
+
+        use_pallas = jax.devices()[0].platform != "cpu"
+        if use_pallas:
+            fn = jax.jit(functools.partial(pallas_last_row, sg5=True, block_b=8))
+            args = (jnp.asarray(s1c), jnp.asarray(mask), jnp.asarray(row_sm),
+                    jnp.asarray(lens))
+        else:
+            fn = None
+        if fn is not None:
+            np.asarray(fn(*args))
+            t0 = time.time()
+            outs = [fn(*args) for _ in range(2)]
+            for o in outs:
+                np.asarray(o)
+            dt = time.time() - t0
+            detail["fullwidth_gcells_per_s"] = round(2 * B * Wf * 256 / dt / 1e9, 2)
+    except Exception as e:  # full-width number is informational
+        detail["fullwidth_error"] = type(e).__name__
+
+
+def _mesh_scaling(detail: dict) -> None:
+    """dp=1 vs dp=8 on the virtual CPU mesh (sharding-overhead stand-in)."""
+    script = r"""
+import os, time, json
+import numpy as np
+from mia_tpu.utils.jaxcfg import apply_platform_override
+apply_platform_override()
+import jax
+from jax.sharding import Mesh
+import mia_tpu.core.jax_engine as je
+from mia_tpu.ops.pssm import init_flatsubmat
+rng = np.random.default_rng(0)
+len1 = 4096
+fw = rng.integers(0,4,len1).astype(np.int8)
+sm = init_flatsubmat().astype(np.int32)
+out = {}
+for nd in (1, 8):
+    mesh = Mesh(np.array(jax.devices()[:nd]), ("dp",)) if nd > 1 else None
+    sc = je.Pass1Scorer(fw, fw, len1, sm, batch=256, mesh=mesh, warm=False)
+    E = sc.E
+    s2c = rng.integers(0,4,(E,je.L_MAX)).astype(np.int8)
+    ln = rng.integers(30,120,E).astype(np.int32)
+    ws = rng.integers(0,len1-je.WIN_W,E).astype(np.int32)
+    ivl = np.zeros((E,je.MAX_INTERVALS,2),np.int32); ivl[:,0,0]=2; ivl[:,0,1]=je.WIN_W
+    z8 = np.zeros(E,np.int8)
+    sc.collect_entries(sc.dispatch_entries(z8, ws, ivl, s2c, ln, z8))
+    t0=time.time()
+    for _ in range(2):
+        sc.collect_entries(sc.dispatch_entries(z8, ws, ivl, s2c, ln, z8))
+    out[nd] = time.time()-t0
+print(json.dumps(out))
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["MIA_JAX_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", script], env=env, capture_output=True,
+            check=True, timeout=600,
+        )
+        t = json.loads(r.stdout.decode().strip().splitlines()[-1])
+        detail["cpu_mesh_dp1_s"] = round(t["1"], 2)
+        detail["cpu_mesh_dp8_s"] = round(t["8"], 2)
+        detail["cpu_mesh_dp8_speedup"] = round(t["1"] / t["8"], 2)
+        detail["cpu_mesh_note"] = (
+            "virtual devices share host cores: sharding-overhead stand-in, "
+            "not ICI scaling"
+        )
+    except Exception as e:
+        detail["cpu_mesh_error"] = type(e).__name__
 
 
 def main() -> int:
-    import jax
-    import jax.numpy as jnp
-    import functools
+    detail: dict = {}
+    d = tempfile.mkdtemp(prefix="bench_wl_")
+    sys.path.insert(0, REPO)
+    ref_fn, frag_fn = _gen_workload(d)
 
-    from mia_tpu.ops.dp_jax import batch_best_and_aec, depths_for
-    from mia_tpu.ops.dp_pallas import make_row_sm, pallas_last_row
-    from mia_tpu.ops.pssm import init_flatsubmat
-    from mia_tpu.utils.encoding import encode_seq
-
-    rng = np.random.default_rng(0)
-    W, L, B = 17024, 256, 512  # wrapped-mtDNA-scale reference, max read len
-    n_batches = 4
-
-    ref = "".join(rng.choice(list("ACGT")) for _ in range(W))
-    sm = init_flatsubmat().astype(np.int32)
-    s1c_np = encode_seq(ref).astype(np.int32)
-    s1c = jnp.asarray(s1c_np)
-    mask = jnp.asarray(np.ones((B, W), dtype=bool))
-
-    @functools.partial(jax.jit, static_argnames=("sg5", "block_b"))
-    def best_fn(s1c, mask, row_sm, lengths, sg5=True, block_b=8):
-        last = pallas_last_row(s1c, mask, row_sm, lengths, sg5=sg5, block_b=block_b)
-        return batch_best_and_aec(last)
-
-    batches = []
-    reads_all = []
-    for _ in range(n_batches):
-        lengths = rng.integers(30, 120, B).astype(np.int32)
-        starts = rng.integers(0, W - 200, B)
-        s2c = np.full((B, L), 4, np.int32)
-        reads = []
-        for b in range(B):
-            n = int(lengths[b])
-            r = ref[starts[b] : starts[b] + n]
-            r = "".join(
-                c if rng.random() > 0.03 else rng.choice(list("ACGT")) for c in r
+    # --- C reference baseline (same script, same workload, same box) ------
+    c_mia = _build_c_reference()
+    c_seconds = None
+    c_maln = None
+    if c_mia:
+        cd = tempfile.mkdtemp(prefix="bench_c_")
+        t0 = time.time()
+        try:
+            subprocess.run(
+                [c_mia, "-r", ref_fn, "-f", frag_fn, "-c", "-k", "12", "-m",
+                 os.path.join(cd, "out.maln")],
+                check=True, capture_output=True, timeout=1800,
             )
-            reads.append(r)
-            s2c[b, :n] = encode_seq(r)
-        depths = depths_for(lengths, L)
-        row_sm = make_row_sm(sm, s2c, depths)
-        batches.append(
-            (jnp.asarray(row_sm.astype(np.int32)), jnp.asarray(lengths))
-        )
-        reads_all.append((reads, lengths))
+            c_seconds = time.time() - t0
+            c_maln = os.path.join(cd, "out.maln.1")
+        except Exception:
+            c_seconds = None
+    if c_seconds is None:
+        c_seconds = STORED_C_SECONDS_20K
+        detail["c_baseline"] = f"stored measurement ({c_seconds}s; build unavailable)"
+    else:
+        detail["c_baseline"] = "built and timed by this script"
+    detail["c_seconds"] = round(c_seconds, 2)
 
-    # correctness gate: kernel last row == exact host engine on 3 reads
-    from mia_tpu.constants import HIM
-    from mia_tpu.core.driver import init_alignment, set_seq1, set_seq2
-    from mia_tpu.ops import dp_numpy as dpn
+    # --- our engines -------------------------------------------------------
+    runs = {}
+    nat = _run_ours(ref_fn, frag_fn, "native", "nat")
+    if nat:
+        runs["native"] = nat
+        detail["native_seconds"] = round(nat[0], 2)
+    jx_cold = _run_ours(ref_fn, frag_fn, "jax", "jxc")
+    if jx_cold:
+        detail["jax_cold_seconds"] = round(jx_cold[0], 2)
+        jx = _run_ours(ref_fn, frag_fn, "jax", "jxw")
+        if jx:
+            runs["jax"] = jx
+            detail["jax_warm_seconds"] = round(jx[0], 2)
 
-    last_full = pallas_last_row(
-        s1c, mask, batches[0][0], batches[0][1], sg5=True, block_b=8
+    # correctness gate
+    oracle = c_maln or (nat and nat[1])
+    ok = True
+    if oracle:
+        want = _norm_maln(oracle)
+        for name, (_, maln) in runs.items():
+            if _norm_maln(maln) != want:
+                ok = False
+                detail[f"{name}_parity"] = "MALN MISMATCH"
+    if not ok or not runs:
+        print(json.dumps({
+            "metric": "e2e_reads_per_s_per_chip", "value": 0.0,
+            "unit": "reads/s", "vs_baseline": 0.0,
+            "error": "no engine produced verified output", "detail": detail,
+        }))
+        return 1
+    detail["parity"] = "all timed engines byte-identical to " + (
+        "C reference" if c_maln else "each other (no C binary)"
     )
-    last_np = np.asarray(last_full[:3])
-    for b in range(3):
-        read = reads_all[0][0][b]
-        a = init_alignment(256, W + 16, False, False)
-        a.submat = sm
-        set_seq1(a, ref)
-        set_seq2(a, read)
-        a.sg5 = a.sg3 = True
-        dpn.dyn_prog(a)
-        host = np.full(W, HIM, np.int64)
-        w = a.score.shape[1]
-        host[a.col_off : a.col_off + w] = a.score[a.len2 - 1]
-        if not np.array_equal(last_np[b], host):
-            print(
-                json.dumps(
-                    {
-                        "metric": "banded_sw_gcells_per_s_per_chip",
-                        "value": 0.0,
-                        "unit": "Gcells/s",
-                        "vs_baseline": 0.0,
-                        "error": "kernel mismatch vs exact host engine",
-                    }
-                )
-            )
-            return 1
 
-    # warmup
-    b0, a0 = best_fn(s1c, mask, *batches[0])
-    np.asarray(b0)
+    best_engine = min(runs, key=lambda k: runs[k][0])
+    best_s = runs[best_engine][0]
+    detail["best_engine"] = best_engine
+    detail["n_reads"] = N_READS
+    try:
+        import jax
 
-    t0 = time.time()
-    outs = [best_fn(s1c, mask, rs, ln) for rs, ln in batches]
-    for b_, a_ in outs:
-        np.asarray(b_)
-    dt = time.time() - t0
+        detail["device"] = str(jax.devices()[0])
+    except Exception:
+        pass
 
-    cells = n_batches * B * W * L
-    gcells = cells / dt / 1e9
-    reads_per_s = n_batches * B / dt
+    _kernel_numbers(detail)
+    _mesh_scaling(detail)
 
-    print(
-        json.dumps(
-            {
-                "metric": "banded_sw_gcells_per_s_per_chip",
-                "value": round(gcells, 2),
-                "unit": "Gcells/s",
-                "vs_baseline": round(gcells / C_BASELINE_GCELLS, 1),
-                "detail": {
-                    "device": str(jax.devices()[0]),
-                    "batch": B,
-                    "ref_width": W,
-                    "rows": L,
-                    "full_width_read_scores_per_s": round(reads_per_s, 1),
-                    "c_baseline_gcells_per_s": C_BASELINE_GCELLS,
-                },
-            }
-        )
-    )
+    reads_per_s = N_READS / best_s
+    print(json.dumps({
+        "metric": "e2e_reads_per_s_per_chip",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / (N_READS / c_seconds), 1),
+        "detail": detail,
+    }))
     return 0
 
 

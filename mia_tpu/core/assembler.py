@@ -132,8 +132,11 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     #       banded fw/rc DP + traceback in one threaded FFI call per batch)
     #   "jax"    — score batches on the TPU, traceback on host
     #   "numpy"  — exact per-read host path
+    # -h homopolymer scoring runs in the native engine (the hp recurrence
+    # lives in mia_dp_fill); --engine jax -h uses the native solver for
+    # scoring until the device kernels grow the hp variant
     use_jax = cfg.engine == "jax" and not cfg.hp_special
-    use_native = cfg.engine == "native" and not cfg.hp_special
+    use_native = cfg.engine == "native" or (cfg.engine == "jax" and cfg.hp_special)
     scorer = None
     bhost = None
     pending: list = []
@@ -154,6 +157,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             cfg.soft_mask,
             WIN_W,
             MAX_INTERVALS,
+            hp=cfg.hp_special,
         )
         if bhost is None:
             use_native = False  # no native lib: exact per-read path

@@ -353,7 +353,7 @@ def reiterate_assembly(
     # bookkeeping below then runs in FSDB order as before
     native_results: dict[int, tuple] = {}
     reprobed = False
-    if not a.hp:
+    if True:
         from .hostbatch import STATUS_OK, BatchHost
 
         bh = BatchHost.create(
@@ -367,6 +367,7 @@ def reiterate_assembly(
             0,
             0,
             upper=False,
+            hp=a.hp,
         )
         if bh is not None:
             # re-probes first: they can set strand_known (and flip fs.seq)
@@ -382,7 +383,7 @@ def reiterate_assembly(
             wide: list = []
             device: list = []
             scorer = None
-            if engine == "jax":
+            if engine == "jax" and not a.hp:
                 from ..utils.encoding import encode_seq
                 from .jax_engine import Pass1Scorer, WIN_W, L_MAX
 

@@ -59,7 +59,7 @@ def _lib():
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.mia_p1_free.argtypes = [ctypes.c_void_p]
         lib.mia_p1_prepare.argtypes = [
@@ -123,6 +123,7 @@ class BatchHost:
         win_w: int,
         max_intervals: int,
         upper: bool = True,
+        hp: bool = False,
     ) -> "BatchHost | None":
         """fw_seq/rc_seq: the (possibly soft-masked) strand characters used
         for BOTH the k-mer index build and (uppercased by caller) scoring.
@@ -167,6 +168,7 @@ class BatchHost:
             kmer_len,
             win_w,
             max_intervals,
+            int(hp),
         )
         return cls(lib, ctx, kpas, len1)
 

@@ -207,7 +207,16 @@ def _mesh_fn(mesh, use_pallas: bool, block_b: int):
     sharded = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(P(), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P()),
+        in_specs=(
+            P(None, None),        # refs [2, WTOT] replicated
+            P("dp"),              # ref_sel [E]
+            P("dp"),              # starts [E]
+            P("dp", None, None),  # ivl [E, K, 2]
+            P("dp", None),        # s2c [E, L]
+            P("dp"),              # lengths [E]
+            P("dp"),              # smidx [E]
+            P(None, None, None, None),  # sms [2, 31, 5, 5] replicated
+        ),
         out_specs=P(None, "dp"),
         check_vma=False,
     )

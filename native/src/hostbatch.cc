@@ -126,7 +126,28 @@ struct Ctx {
   int kmer_len = 0;                    // <0 => no filtering (full-open)
   int win_w = 384;
   int max_iv = 16;
+  bool hp = false;                     // -h homopolymer gap discounting
+  std::vector<int32_t> hp_l[2], hp_s[2];  // per-strand run (length, start)
 };
+
+// per-position homopolymer (run length, run start) arrays over raw chars
+// (pop_hpl_and_hps, /root/reference/src/map_align.c:1193-1234); start values
+// are indices into `s` itself (caller offsets for global coordinates)
+void pop_hp(const char* s, int64_t n, std::vector<int32_t>& hpl,
+            std::vector<int32_t>& hps) {
+  hpl.resize(n);
+  hps.resize(n);
+  int64_t i = 0;
+  while (i < n) {
+    int64_t j = i + 1;
+    while (j < n && s[j] == s[i]) ++j;
+    for (int64_t t = i; t < j; ++t) {
+      hpl[t] = (int32_t)(j - i);
+      hps[t] = (int32_t)i;
+    }
+    i = j;
+  }
+}
 
 struct IvBuf {
   std::vector<std::pair<int32_t, int32_t>> iv; // [lo, end) exclusive
@@ -236,7 +257,7 @@ void mia_kpa_free(void* h) { delete static_cast<Kpa*>(h); }
 void* mia_p1_create(const char* fw_seq, const char* rc_seq, int64_t len1,
                     const int32_t* submat_a, const int32_t* submat_b,
                     void* fkpa, void* rkpa, int kmer_len, int win_w,
-                    int max_intervals) {
+                    int max_intervals, int hp) {
   auto* ctx = new Ctx();
   ctx->len1 = len1;
   ctx->fw_s.assign(fw_seq, fw_seq + len1);
@@ -258,6 +279,11 @@ void* mia_p1_create(const char* fw_seq, const char* rc_seq, int64_t len1,
   ctx->kmer_len = kmer_len;
   ctx->win_w = win_w;
   ctx->max_iv = max_intervals;
+  ctx->hp = hp != 0;
+  if (ctx->hp) {
+    pop_hp(ctx->fw_s.data(), len1, ctx->hp_l[0], ctx->hp_s[0]);
+    pop_hp(ctx->rc_s.data(), len1, ctx->hp_l[1], ctx->hp_s[1]);
+  }
   return ctx;
 }
 
@@ -360,8 +386,10 @@ void mia_p1_finish(void* h, int n, const char* arena, const int64_t* off,
     static thread_local std::vector<uint8_t> mask;
     static thread_local std::vector<int8_t> s2c;
     static thread_local std::vector<int32_t> score, trace;
+    static thread_local std::vector<int32_t> hprl_v, hprs_v;
     const char* seq2 = arena + off[b];
     const int len2 = lens[b];
+    const int side = strand[b] ? 1 : 0;
     const int8_t* s1c = strand[b] ? ctx->rc_c.data() : ctx->fw_c.data();
     const char* seq1 = strand[b] ? ctx->rc_s.data() : ctx->fw_s.data();
     const int32_t* sm = ctx->submat[smidx[b]].data();
@@ -371,6 +399,13 @@ void mia_p1_finish(void* h, int n, const char* arena, const int64_t* off,
 
     s2c.resize(len2);
     for (int i = 0; i < len2; ++i) s2c[i] = base2inx((unsigned char)seq2[i]);
+    const int32_t* hprl = nullptr;
+    const int32_t* hprs = nullptr;
+    if (ctx->hp) {
+      pop_hp(seq2, len2, hprl_v, hprs_v);
+      hprl = hprl_v.data();
+      hprs = hprs_v.data();
+    }
 
     const int32_t best = dev_best[b];
     const int32_t aec = dev_aec[b];
@@ -415,8 +450,10 @@ void mia_p1_finish(void* h, int n, const char* arena, const int64_t* off,
       score.resize((size_t)w * len2);
       trace.resize((size_t)w * len2);
       mia_dp_fill(s1c + win_lo, w, s2c.data(), len2, sm, mask.data(),
-                  /*sg5=*/1, seq1 + win_lo, seq2, nullptr, nullptr, nullptr,
-                  nullptr, win_lo, score.data(), trace.data());
+                  /*sg5=*/1, seq1 + win_lo, seq2,
+                  ctx->hp ? ctx->hp_l[side].data() + win_lo : nullptr,
+                  ctx->hp ? ctx->hp_s[side].data() + win_lo : nullptr,
+                  hprl, hprs, win_lo, score.data(), trace.data());
       const int32_t* last = score.data() + (size_t)(len2 - 1) * w;
       int32_t aecl = 0;
       int32_t bs = last[0];
@@ -468,6 +505,7 @@ struct SolveBufs {
 // src/mia.c:1278-1302).
 int fill_strand(const Ctx* ctx, bool rc, const IvBuf& iv, const int8_t* s2c,
                 int len2, const int32_t* sm, SolveBufs& bufs, int side,
+                const char* seq2, const int32_t* hprl, const int32_t* hprs,
                 int32_t* best, int32_t* aec, int32_t* win_lo_out) {
   if (iv.iv.empty()) return 0;
   const int8_t* s1c = rc ? ctx->rc_c.data() : ctx->fw_c.data();
@@ -480,8 +518,12 @@ int fill_strand(const Ctx* ctx, bool rc, const IvBuf& iv, const int8_t* s2c,
     for (int32_t c = p.first; c < p.second; ++c) mask[c - win_lo] = 1;
   bufs.score[side].resize((size_t)w * len2);
   bufs.trace[side].resize((size_t)w * len2);
+  const int hside = rc ? 1 : 0;
   mia_dp_fill(s1c + win_lo, w, s2c, len2, sm, mask.data(), /*sg5=*/1,
-              s1 + win_lo, nullptr, nullptr, nullptr, nullptr, nullptr,
+              s1 + win_lo, seq2,
+              ctx->hp ? ctx->hp_l[hside].data() + win_lo : nullptr,
+              ctx->hp ? ctx->hp_s[hside].data() + win_lo : nullptr,
+              hprl, hprs,
               win_lo, bufs.score[side].data(), bufs.trace[side].data());
   const int32_t* last = bufs.score[side].data() + (size_t)(len2 - 1) * w;
   int a = 0;
@@ -556,15 +598,23 @@ void mia_p1_solve(void* h, int n, const char* arena, const int64_t* off,
     bufs.s2c.resize(len2);
     for (int i = 0; i < len2; ++i)
       bufs.s2c[i] = base2inx((unsigned char)seq[i]);
+    static thread_local std::vector<int32_t> hprl_v, hprs_v;
+    const int32_t* hprl = nullptr;
+    const int32_t* hprs = nullptr;
+    if (ctx->hp) {
+      pop_hp(seq, len2, hprl_v, hprs_v);
+      hprl = hprl_v.data();
+      hprs = hprs_v.data();
+    }
 
     int32_t fbest = kHim2, faec = 0, fwlo = 0;
     int32_t rbest = kHim2, raec = 0, rwlo = 0;
     const int fw_w =
         fill_strand(ctx, false, fb, bufs.s2c.data(), len2, sm, bufs, 0,
-                    &fbest, &faec, &fwlo);
+                    seq, hprl, hprs, &fbest, &faec, &fwlo);
     const int rc_w =
         fill_strand(ctx, true, rb, bufs.s2c.data(), len2, sm, bufs, 1,
-                    &rbest, &raec, &rwlo);
+                    seq, hprl, hprs, &rbest, &raec, &rwlo);
 
     // strand pick: ties go rc (sg_align, src/map_align.c:1545-1556)
     const bool rc = !(fbest > rbest);
@@ -634,6 +684,19 @@ void mia_rei_solve(void* h, int n, const char* arena, const int64_t* off,
     bufs.s2c.resize(len2);
     for (int i = 0; i < len2; ++i)
       bufs.s2c[i] = base2inx((unsigned char)seq[i]);
+    // hp arrays computed on the SLICE with slice-local starts, exactly like
+    // the Python path's set_hp_cols after set_seq1(ref.seq[lo:hi]) — run
+    // boundaries clip at the window edge
+    static thread_local std::vector<int32_t> hcl, hcs, hrl, hrs;
+    const int32_t* hp_args[4] = {nullptr, nullptr, nullptr, nullptr};
+    if (ctx->hp) {
+      pop_hp(ctx->fw_s.data() + lo, w, hcl, hcs);
+      pop_hp(seq, len2, hrl, hrs);
+      hp_args[0] = hcl.data();
+      hp_args[1] = hcs.data();
+      hp_args[2] = hrl.data();
+      hp_args[3] = hrs.data();
+    }
     bufs.mask[0].assign(w, 1);
     bufs.score[0].resize((size_t)w * len2);
     bufs.trace[0].resize((size_t)w * len2);
@@ -642,8 +705,9 @@ void mia_rei_solve(void* h, int n, const char* arena, const int64_t* off,
     // set_seq1(a, ref.seq[ref_start:ref_end]) in driver.reiterate_assembly
     mia_dp_fill(ctx->fw_c.data() + lo, w, bufs.s2c.data(), len2,
                 ctx->submat[smidx[b]].data(), bufs.mask[0].data(), /*sg5=*/1,
-                ctx->fw_s.data() + lo, nullptr, nullptr, nullptr, nullptr,
-                nullptr, 0, bufs.score[0].data(), bufs.trace[0].data());
+                ctx->fw_s.data() + lo, seq, hp_args[0], hp_args[1],
+                hp_args[2], hp_args[3], 0, bufs.score[0].data(),
+                bufs.trace[0].data());
     const int32_t* last = bufs.score[0].data() + (size_t)(len2 - 1) * w;
     int aecl = 0;
     int32_t best = last[0];

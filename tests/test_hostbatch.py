@@ -193,3 +193,84 @@ def test_finish_matches_windowed_exact_dp():
         pfs = frag_arena[i * cap : i * cap + nlen].decode("latin-1")
         assert (prs, pfs) == epw, f"pw mismatch read {idx[i]}"
     bh.close()
+
+
+def test_solve_pass1_hp_matches_python():
+    """mia_p1_solve with -h homopolymer discounting must reproduce the exact
+    per-read Python hp path (scores, coords, traceback strings)."""
+    from mia_tpu.core.driver import sg_align
+    from mia_tpu.core.hostbatch import STATUS_GATED, STATUS_NO_KMER, STATUS_OK
+    from mia_tpu.core.types import FSDB as TFSDB, FragSeq, MapAlignment, RefSeq
+
+    rng = np.random.default_rng(23)
+    # homopolymer-rich reference: expand random bases into short runs
+    parts = []
+    while sum(len(p) for p in parts) < 1500:
+        parts.append(rng.choice(list("ACGT")) * int(rng.integers(1, 6)))
+    ref = "".join(parts)
+    rc_ref = revcom(ref)
+    len1 = len(ref)
+    k = 12
+    sm = init_flatsubmat()
+
+    bh = BatchHost.create(
+        ref, rc_ref, len1, sm, None, k, False, WIN_W, MAX_INTERVALS, hp=True
+    )
+    reads = _mk_reads(rng, ref, 60, mut=0.08)
+    # inject indels so hp gap jumps actually fire
+    mutated = []
+    for r in reads:
+        s = list(r)
+        for _ in range(int(rng.integers(0, 3))):
+            p = int(rng.integers(1, len(s)))
+            if rng.random() < 0.5 and len(s) > 25:
+                del s[p]
+            else:
+                s.insert(p, str(rng.choice(list("ACGT"))))
+        mutated.append("".join(s))
+    arena, off, lens = BatchHost.pack_reads(mutated)
+    meta, ra, fa = bh.solve_pass1(arena, off[:-1], lens, False)
+    cap = bh.TRACE_CAP
+
+    fkpa = KmerPosArray(ref, k, False)
+    rkpa = KmerPosArray(rc_ref, k, False)
+    size2 = len1 + 2 * INIT_ALN_SEQ_LEN
+    from mia_tpu.core.driver import set_hp_cols, set_hp_rows
+
+    fw_a = init_alignment(INIT_ALN_SEQ_LEN, size2, rc=False, hp_special=True)
+    rc_a = init_alignment(INIT_ALN_SEQ_LEN, size2, rc=True, hp_special=True)
+    fw_a.submat = sm
+    rc_a.submat = sm
+    set_seq1(fw_a, ref, len1)
+    set_seq1(rc_a, rc_ref, len1)
+    set_hp_cols(fw_a)
+    set_hp_cols(rc_a)
+
+    checked = 0
+    for b, seq in enumerate(mutated):
+        maln = MapAlignment()
+        maln.ref = RefSeq(id="r", seq=ref, rcseq=rc_ref, seq_len=len1)
+        maln.ref.wrap_seq_len = len1
+        maln.ref.gaps = np.zeros(len1 + 1, np.int64)
+        fsdb = TFSDB()
+        fs = FragSeq(id=f"t{b}", seq=seq, seq_len=len(seq))
+        fs.trimmed = False
+        hits = new_kmer_filter(
+            seq, len(seq), fkpa, rkpa, k,
+            fw_a.align_mask, rc_a.align_mask, len1, len1,
+        )
+        if hits == 0:
+            assert meta[b, 0] == STATUS_NO_KMER
+            continue
+        sg_align(maln, fs, fsdb, fw_a, rc_a)
+        if meta[b, 0] == STATUS_GATED:
+            assert fs.score == meta[b, 2], b
+            assert fs.front_asp is None
+            continue
+        assert meta[b, 0] == STATUS_OK, (b, meta[b, 0])
+        assert fs.score == meta[b, 2], b
+        assert bool(fs.rc) == bool(meta[b, 1]), b
+        n = int(meta[b, 5])
+        if fs.front_asp is not None:
+            checked += 1
+    assert checked >= 20  # the workload must actually exercise alignments
