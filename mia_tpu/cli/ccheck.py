@@ -62,6 +62,9 @@ def find_maln(fn: str) -> str:
 
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
+    from ..utils.jaxcfg import apply_platform_override
+
+    apply_platform_override()
     adna = False
     transversions = False
     be_clever = True
@@ -72,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     maxd = 0
     span_from, span_to = 0, 2**31 - 1
     ref_seq = None
+    engine = "native"
     files: list[str] = []
 
     long_map = {
@@ -84,6 +88,11 @@ def main(argv: list[str] | None = None) -> int:
     i = 0
     while i < len(argv):
         arg = argv[i]
+        if arg == "--engine":
+            i += 1
+            engine = argv[i] if i < len(argv) else "native"
+            i += 1
+            continue
         if arg.startswith("--"):
             if "=" in arg:
                 name, val = arg.split("=", 1)
@@ -190,6 +199,7 @@ def main(argv: list[str] | None = None) -> int:
             really=really,
             verbose=verbose,
             infile=infile,
+            engine=engine,
         )
         if r:
             return r

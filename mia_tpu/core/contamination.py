@@ -17,6 +17,8 @@ from bisect import bisect_left
 from dataclasses import dataclass
 from enum import IntEnum
 
+import numpy as np
+
 from ..ops.dp_numpy import (
     Alignment,
     dyn_prog,
@@ -187,6 +189,153 @@ class CachedPwaln:
     frag_seq: str = ""
 
 
+def _python_realign_one(submat, ref_for_mia: str, the_read: str, lifted_len: int) -> CachedPwaln:
+    """Exact per-read DP of read vs lifted window (src/ccheck.cc:571-603)."""
+    frag = init_alignment(
+        max(lifted_len, len(the_read)), max(lifted_len, len(the_read)), False, False
+    )
+    frag.submat = submat
+    set_seq1(frag, ref_for_mia)
+    set_seq2(frag, the_read)
+    frag.sg5 = True
+    frag.sg3 = True
+    dyn_prog(frag)
+    max_sg_score(frag)
+    find_align_begin(frag)
+    rs, fs_ = populate_pwaln_to_begin(frag)
+    return CachedPwaln(start=frag.abc, ref_seq=rs, frag_seq=fs_)
+
+
+def _realign_all(maln, aln_con: str, aln_ass: str, submat, engine: str) -> list[CachedPwaln]:
+    """Pass-1 read re-alignments to the lifted contaminant windows
+    (src/ccheck.cc:550-603), batched.
+
+    "native": all windows concatenate into one pseudo-reference and solve in
+    threaded FFI calls (mia_rei_solve fills exactly the sliced-window DP the
+    per-read path runs).  "jax": windows that fit the device program score on
+    the TPU first, with the margin-verified native traceback (mia_p1_finish).
+    "numpy": the exact per-read path.  All three are byte-identical."""
+    jobs: list[tuple[str, str, str]] = []
+    for s in maln.aln_seqs:
+        parts: list[str] = []
+        for i, nt in enumerate(s.seq):
+            if nt != "-":
+                parts.append(nt)
+            ins = s.ins.get(i)
+            if ins:
+                parts.append(ins)
+        the_read = "".join(parts)
+        lifted = lift_over(aln_con, aln_ass, s.start, s.end + 2)
+        ref_for_mia = "".join(
+            c.upper() if c.upper() in "ACGT" else "N" for c in lifted
+        )
+        jobs.append((the_read, lifted, ref_for_mia))
+
+    cached = [CachedPwaln() for _ in jobs]
+    live = [i for i, (r, _, rm) in enumerate(jobs) if r and rm]
+    if engine in ("native", "jax") and live:
+        from .hostbatch import STATUS_OK, BatchHost
+
+        big_ref = "".join(jobs[i][2] for i in live)
+        offs = np.zeros(len(live) + 1, np.int64)
+        np.cumsum(
+            np.fromiter((len(jobs[i][2]) for i in live), np.int64, len(live)),
+            out=offs[1:],
+        )
+        bh = BatchHost.create(big_ref, big_ref, len(big_ref), submat, None, -1, False, 0, 0)
+        if bh is not None:
+            reads = [jobs[i][0] for i in live]
+            arena, off, lens = bh.pack_reads(reads)
+            wlo = offs[:-1].astype(np.int32)
+            whi = offs[1:].astype(np.int32)
+            solved: dict[int, CachedPwaln] = {}
+
+            if engine == "jax":
+                try:
+                    from ..utils.encoding import encode_seq
+                    from .jax_engine import L_MAX, MAX_INTERVALS, WIN_W, Pass1Scorer
+
+                    ws = np.maximum(wlo - 2, 0)
+                    dev = [
+                        j for j in range(len(live))
+                        if whi[j] - ws[j] <= WIN_W and lens[j] <= L_MAX and lens[j] > 0
+                    ]
+                    if dev:
+                        codes = encode_seq(big_ref)
+                        scorer = Pass1Scorer(
+                            codes, codes, len(big_ref), submat, warm=False
+                        )
+                        cap = bh.TRACE_CAP
+                        for c0 in range(0, len(dev), scorer.E):
+                            chunk = dev[c0 : c0 + scorer.E]
+                            m = len(chunk)
+                            sub_reads = [reads[j] for j in chunk]
+                            a2, o2, l2 = bh.pack_reads(sub_reads)
+                            from .jax_engine import pack_s2c
+
+                            s2c = pack_s2c(a2, o2[:-1], l2)
+                            ivl = np.zeros((m, MAX_INTERVALS, 2), np.int32)
+                            ivl[:, 0, 0] = wlo[chunk] - ws[chunk]
+                            ivl[:, 0, 1] = whi[chunk] - ws[chunk]
+                            h = scorer.dispatch_entries(
+                                np.zeros(m, np.int8), ws[chunk], ivl, s2c, l2,
+                                np.zeros(m, np.int8),
+                            )
+                            best, aecl = scorer.collect_entries(h)
+                            aec = (aecl + ws[chunk]).astype(np.int32)
+                            ivg = np.zeros((m, 1, 2), np.int32)
+                            ivg[:, 0, 0] = wlo[chunk]
+                            ivg[:, 0, 1] = whi[chunk]
+                            meta, ra, fa = bh.finish(
+                                a2, o2[:-1], l2,
+                                np.zeros(m, np.uint8), np.zeros(m, np.uint8),
+                                best.astype(np.int32), aec, ivg,
+                            )
+                            for t, j in enumerate(chunk):
+                                n = int(meta[t, 3])
+                                if n < 0:
+                                    continue
+                                solved[j] = CachedPwaln(
+                                    start=int(meta[t, 1]) - int(wlo[j]),
+                                    ref_seq=ra[t * cap : t * cap + n].decode("latin-1"),
+                                    frag_seq=fa[t * cap : t * cap + n].decode("latin-1"),
+                                )
+                except Exception:
+                    pass  # device unavailable: the native solve below covers
+
+            rest = [j for j in range(len(live)) if j not in solved and lens[j] > 0]
+            CHUNK = 8192
+            cap = bh.TRACE_CAP
+            for c0 in range(0, len(rest), CHUNK):
+                chunk = rest[c0 : c0 + CHUNK]
+                sub_reads = [reads[j] for j in chunk]
+                a2, o2, l2 = bh.pack_reads(sub_reads)
+                meta, ra, fa = bh.solve_rei(
+                    a2, o2[:-1], l2,
+                    np.zeros(len(chunk), np.uint8),
+                    wlo[chunk], whi[chunk],
+                )
+                for t, j in enumerate(chunk):
+                    if meta[t, 0] != STATUS_OK:
+                        continue  # per-read python fallback below
+                    n = int(meta[t, 4])
+                    solved[j] = CachedPwaln(
+                        start=int(meta[t, 2]) - int(wlo[j]),
+                        ref_seq=ra[t * cap : t * cap + n].decode("latin-1"),
+                        frag_seq=fa[t * cap : t * cap + n].decode("latin-1"),
+                    )
+            bh.close()
+            for j, i in enumerate(live):
+                if j in solved:
+                    cached[i] = solved[j]
+
+    for i, (the_read, lifted, ref_for_mia) in enumerate(jobs):
+        if cached[i].ref_seq or not (ref_for_mia and the_read):
+            continue
+        cached[i] = _python_realign_one(submat, ref_for_mia, the_read, len(lifted))
+    return cached
+
+
 def print_results(summary: list[int], mktable: bool, out) -> None:
     """Wilson 95% CI contamination estimate (src/ccheck.cc:329-367)."""
     z = 1.96
@@ -237,6 +386,7 @@ def check_contamination(
     verbose: int = 0,
     out=None,
     infile: str = "",
+    engine: str = "native",
 ) -> int:
     """Run the two-pass contamination analysis on one maln; returns 0 on
     success, 1 on the safety stop / alignment failure."""
@@ -246,7 +396,13 @@ def check_contamination(
 
     if not maxd:
         maxd = max(len(hum_ref_seq), len(maln.ref.seq)) // 10
-    d, aln_con, aln_ass = myers_diff(
+    differ = myers_diff
+    if engine == "jax":
+        try:
+            from ..ops.myers_jax import myers_diff_jax as differ
+        except Exception:
+            pass  # no usable device: host Myers
+    d, aln_con, aln_ass = differ(
         hum_ref_seq, Mode.GLOBAL, maln.ref.seq, maxd
     )
     if d == 2**32 - 1:
@@ -290,45 +446,12 @@ def check_contamination(
         return 1
 
     # ---- pass 1: find actually diagnostic positions ----
-    cached: list[CachedPwaln] = []
-    for s in maln.aln_seqs:
+    # all read-vs-lifted-window re-alignments run batched up front (native
+    # threads / device scoring per `engine`); the loop below only walks them
+    cached = _realign_all(maln, aln_con, aln_ass, submat, engine)
+    for s, pwaln in zip(maln.aln_seqs, cached):
         fixup_name(s)
-
-        the_read_parts = []
-        for i, nt in enumerate(s.seq):
-            if nt != "-":
-                the_read_parts.append(nt)
-            ins = s.ins.get(i)
-            if ins:
-                the_read_parts.append(ins)
-        the_read = "".join(the_read_parts)
         lifted = lift_over(aln_con, aln_ass, s.start, s.end + 2)
-
-        ref_for_mia = "".join(
-            c.upper() if c.upper() in "ACGT" else "N" for c in lifted
-        )
-
-        pwaln = CachedPwaln()
-        if ref_for_mia and the_read:
-            frag = init_alignment(
-                max(len(lifted), len(the_read)),
-                max(len(lifted), len(the_read)),
-                False,
-                False,
-            )
-            frag.submat = submat
-            set_seq1(frag, ref_for_mia)
-            set_seq2(frag, the_read)
-            frag.sg5 = True
-            frag.sg3 = True
-            dyn_prog(frag)
-            max_sg_score(frag)
-            find_align_begin(frag)
-            rs, fs_ = populate_pwaln_to_begin(frag)
-            pwaln.start = frag.abc
-            pwaln.ref_seq = rs
-            pwaln.frag_seq = fs_
-        cached.append(pwaln)
 
         # walk the global alignment to this read's span
         p = 0

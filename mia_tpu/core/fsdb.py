@@ -90,24 +90,30 @@ def _native_lib():
     return _load_native()
 
 
-def _min_score(slope: float, intercept: float, length: int) -> float:
-    """intercept + slope*length with the reference binary's fused
-    multiply-add rounding when the native library is present."""
+def _min_scores_batch(slope: float, intercept: float, lengths: np.ndarray) -> np.ndarray:
+    """intercept + slope*length for a length VECTOR, with the reference
+    binary's fused multiply-add rounding when the native library is present
+    (one FFI call for the whole batch)."""
     lib = _native_lib()
+    lens = np.ascontiguousarray(lengths, np.int32)
     if lib is None:
-        return intercept + slope * length
+        return intercept + slope * lens.astype(np.float64)
     import ctypes
 
-    out = np.zeros(1, np.float64)
-    lens = np.array([length], np.int32)
+    out = np.zeros(len(lens), np.float64)
     lib.mia_min_scores(
         ctypes.c_double(slope),
         ctypes.c_double(intercept),
         lens.ctypes.data_as(ctypes.c_void_p),
-        ctypes.c_int64(1),
+        ctypes.c_int64(len(lens)),
         out.ctypes.data_as(ctypes.c_void_p),
     )
-    return float(out[0])
+    return out
+
+
+def _min_score(slope: float, intercept: float, length: int) -> float:
+    """Scalar convenience wrapper over :func:`_min_scores_batch`."""
+    return float(_min_scores_batch(slope, intercept, np.array([length], np.int32))[0])
 
 
 def find_fsdb_score_cut(fsdb: FSDB) -> tuple[float, float]:
@@ -206,13 +212,25 @@ def cull_maln_from_fsdb(
     slope, intercept = _resolve_cut(fsdb, score_cut_set, s, n)
 
     picked: list[AlnSeq] = []
-    for fs in fsdb.fss:
-        if hard_cut > 0:
-            min_score = float(hard_cut)
-        elif culled.distant_ref:
-            min_score = _min_score(slope, intercept, find_alignable_len(fs, culled.ref))
-        else:
-            min_score = _min_score(slope, intercept, fs.seq_len)
+    if hard_cut > 0:
+        cuts = np.full(len(fsdb.fss), float(hard_cut))
+    elif culled.distant_ref:
+        cuts = _min_scores_batch(
+            slope,
+            intercept,
+            np.fromiter(
+                (find_alignable_len(fs, culled.ref) for fs in fsdb.fss),
+                np.int32,
+                len(fsdb.fss),
+            ),
+        )
+    else:
+        cuts = _min_scores_batch(
+            slope,
+            intercept,
+            np.fromiter((fs.seq_len for fs in fsdb.fss), np.int32, len(fsdb.fss)),
+        )
+    for fs, min_score in zip(fsdb.fss, cuts):
         if fs.unique_best:
             picked.append(fs.front_asp)
             if fs.score < min_score:
@@ -296,8 +314,15 @@ def collapse_FSDB(
     reads (src/mia.c:314-396)."""
     slope, intercept = _resolve_cut(fsdb, score_cut_set, s, n)
 
-    i = 0
     fss = fsdb.fss
+    if hard_cut > 0:
+        cuts = np.full(len(fss), float(hard_cut))
+    else:
+        cuts = _min_scores_batch(
+            slope, intercept,
+            np.fromiter((fs.seq_len for fs in fss), np.int32, len(fss)),
+        )
+    i = 0
     while i < len(fss):
         cfs = fss[i]
         if cfs.qss is None:
@@ -305,11 +330,7 @@ def collapse_FSDB(
         i += 1
         while i < len(fss) and not fss[i].unique_best:
             fs = fss[i]
-            if hard_cut > 0:
-                min_score = float(hard_cut)
-            else:
-                min_score = _min_score(slope, intercept, fs.seq_len)
-            if fs.score >= min_score:
+            if fs.score >= cuts[i]:
                 add_fs(cfs, fs)
             i += 1
 

@@ -99,31 +99,40 @@ def merge_pwaln_into_maln(pwaln: PWAlnFrag, maln: MapAlignment) -> AlnSeq:
     asp.segment = pwaln.segment
     asp.num_inputs = pwaln.num_inputs
 
-    seq_chars: list[str] = []
+    rb = np.frombuffer(pwaln.ref_seq.encode("latin-1"), np.uint8)
+    is_gap = rb == ord("-")
+    if not is_gap.any():
+        asp.seq = pwaln.frag_seq
+        asp.ins = {}
+        return asp
+
+    fb = np.frombuffer(pwaln.frag_seq.encode("latin-1"), np.uint8)
+    nongap = ~is_gap
+    # seq position (count of preceding ref non-gaps) of every column
+    pos = np.cumsum(nongap) - nongap
+    asp.seq = fb[nongap].tobytes().decode("latin-1")
+    seq_len = len(asp.seq)
+
+    # consecutive ref-gap columns share a pos, so each gap run is one unique
+    # pos; a trailing run (pos == seq_len) is dropped exactly like the
+    # reference (the final '\0' is only written on the next non-gap, which
+    # never comes)
+    gp = pos[is_gap]
+    gap_chars = fb[is_gap]
+    uniq_pos, offs = np.unique(gp, return_index=True)
+    bounds = np.append(offs, len(gap_chars))
     ins: dict[int, str] = {}
-    this_ref_gaps: dict[int, int] = {}
-    cur_ins: list[str] = []
-    seq_pos = 0
-    for c, f in zip(pwaln.ref_seq, pwaln.frag_seq):
-        if c == "-":
-            this_ref_gaps[seq_pos] = this_ref_gaps.get(seq_pos, 0) + 1
-            cur_ins.append(f)
-        else:
-            if cur_ins:
-                ins[seq_pos] = "".join(cur_ins)
-                cur_ins = []
-            seq_chars.append(f)
-            seq_pos += 1
-    # note: a trailing run of ref gaps is dropped exactly like the reference
-    # (the final '\0' is only written on the next non-gap, which never comes)
-    asp.seq = "".join(seq_chars)
+    for j, p in enumerate(uniq_pos):
+        if p < seq_len:
+            ins[int(p)] = gap_chars[bounds[j] : bounds[j + 1]].tobytes().decode(
+                "latin-1"
+            )
     asp.ins = ins
 
     gaps = maln.ref.gaps
     ref_frag_len = asp.end - asp.start + 1
-    for i, g in this_ref_gaps.items():
-        if i < ref_frag_len:
-            ref_pos = asp.start + i
-            if g > gaps[ref_pos]:
-                gaps[ref_pos] = g
+    counts = np.diff(bounds)
+    sel = uniq_pos < ref_frag_len
+    if sel.any():
+        np.maximum.at(gaps, asp.start + uniq_pos[sel], counts[sel])
     return asp

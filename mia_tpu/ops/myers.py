@@ -69,8 +69,15 @@ def myers_diff(
                 y += 1
             v_d[k + d] = x
 
-            if (mode == Mode.IS_PREFIX or y == len_a) and (
-                mode == Mode.HAS_PREFIX or x == len_b
+            # accept rule (src/myers_align.c:39-41) plus y <= len_a: the C
+            # code accepts IS_PREFIX states with y > len_a and then reads
+            # past seq_a in its backtrace (undefined behaviour, never
+            # exercised — ccheck only uses GLOBAL, src/ccheck.cc:480); such
+            # diagonals are skipped here instead
+            if (
+                (mode == Mode.IS_PREFIX or y == len_a)
+                and (mode == Mode.HAS_PREFIX or x == len_b)
+                and y <= len_a
             ):
                 vee.append(v_d)
                 return d, *_backtrace(seq_a, seq_b, vee, d, k, x, y)

@@ -88,3 +88,22 @@ def test_myers_iupac_matching():
 def test_myers_maxd_limit():
     d, _, _ = myers_diff("AAAA", Mode.GLOBAL, "TTTT", 3)
     assert d == 2**32 - 1
+
+
+@pytest.mark.parametrize("engine", ["numpy", "native", "jax"])
+def test_ccheck_engines_identical(engine):
+    """The batched native and device realignment paths must reproduce the
+    per-read python path's ccheck output byte-exactly."""
+    d = os.path.join(GOLDEN, "ccheck")
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["MIA_JAX_PLATFORM"] = "cpu"
+    env["MIA_SCORE_BATCH"] = "64"
+    r = subprocess.run(
+        [sys.executable, "-m", "mia_tpu.cli.ccheck", "--engine", engine,
+         "-T", "-a", "cc.maln.1"],
+        cwd=d, env=env, capture_output=True, text=True,
+    )
+    with open(os.path.join(d, "table_a.txt")) as fh:
+        assert r.stdout == fh.read(), engine
