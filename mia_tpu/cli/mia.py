@@ -198,6 +198,8 @@ def parse_args(argv: list[str]) -> MiaConfig | None:
             cfg.engine = need_val()
         elif flag == "-" and arg == "--dp":
             cfg.dp_devices = int(need_val())
+        elif flag == "-" and arg == "--profile":
+            cfg.profile = True
         else:
             sys.stdout.write(help_text())
             raise SystemExit(0)
@@ -213,16 +215,22 @@ def main(argv: list[str] | None = None) -> int:
     import time
 
     from ..utils.jaxcfg import apply_platform_override
+    from ..utils import profiling
 
     apply_platform_override()
     argv = sys.argv[1:] if argv is None else argv
     cfg = parse_args(argv)
+    if cfg is not None and cfg.profile:
+        profiling.enable()
     print(
         f"Starting assembly of {cfg.frag_fn}\nusing {cfg.ref_fn}\n"
         f"as reference at {time.asctime()}\n",
         file=sys.stderr,
     )
-    run_assembly(cfg)
+    with profiling.device_trace():
+        run_assembly(cfg)
+    if cfg.profile:
+        profiling.report()
     print(f"Assembly finished at {time.asctime()}\n", file=sys.stderr)
     return 0
 

@@ -43,3 +43,5 @@ class MiaConfig:
     # data-parallel device count for --engine jax: entries shard over a
     # ("dp",) mesh; 0 = single device, -1 = all local devices
     dp_devices: int = 0
+    # --profile: phase timers + counters dumped as one JSON line on stderr
+    profile: bool = False

@@ -44,6 +44,7 @@ from .fsdb import (
 )
 from .merge import add_ref_wrap
 from .types import MapAlignment
+from ..utils import profiling
 
 
 def _log(msg: str) -> None:
@@ -261,6 +262,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         from .driver import finish_alignment
         from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP, FLAG_WIDE
 
+        profiling.count("pass1.batches_drained")
         records, handle, prep = inflight.pop(0)
         arena, off, lens, fw_ivg, rc_ivg, flags = prep
         fb, fa, rb, ra = scorer.collect_arrays(handle)
@@ -296,6 +298,8 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             strand.append(rcwin)
             bests.append(best)
             aecs.append(int(ra[i] if rcwin else fa[i]))
+        profiling.count("pass1.device_scored_reads", len(win))
+        profiling.count("pass1.native_solved_wide_reads", len(wide_idx))
         if win:
             widx = np.asarray(win)
             strand_a = np.asarray(strand, np.uint8)
@@ -454,6 +458,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             else:
                 _drain_oldest_legacy()
 
+    t_pass1 = time.time()
     for frag_seq in iter_frag_seqs(cfg.frag_fn):
         seen += 1
         if good_ids is None or frag_seq.id in good_ids:
@@ -508,8 +513,11 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         flush_pending(final=True)
     if bhost is not None:
         bhost.close()
+    profiling.count("pass1.reads_seen", seen)
+    profiling.add_time("pass1", time.time() - t_pass1)
 
-    pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
+    with profiling.phase("filters.pop_smp"):
+        pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
     sys.stderr.write("\n")
     iter_num = 1
 
@@ -529,9 +537,10 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         sort_fsdb_qscore(fsdb)
         set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
 
-    cull_maln_from_fsdb(
-        culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
-    )
+    with profiling.phase("filters.cull"):
+        cull_maln_from_fsdb(
+            culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
+        )
     culled.fpsm = ancsubmat
     culled.rpsm = rcancsubmat
     sort_aln_frags(culled)
@@ -547,10 +556,11 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     if cfg.collapse:
         collapse_FSDB(fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept)
 
-    reiterate_assembly(
-        last_assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat,
-        rcancsubmat, engine=cfg.engine, mesh=mesh,
-    )
+    with profiling.phase("reiterate"):
+        reiterate_assembly(
+            last_assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat,
+            rcancsubmat, engine=cfg.engine, mesh=mesh,
+        )
     pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
     _log("Repeat and score filtering")
     if cfg.repeat_filt:
@@ -559,21 +569,24 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     if cfg.repeat_qual_filt:
         sort_fsdb_qscore(fsdb)
         set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
-    cull_maln_from_fsdb(
-        culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
-    )
+    with profiling.phase("filters.cull"):
+        cull_maln_from_fsdb(
+            culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
+        )
     culled.fpsm = ancsubmat
     culled.rpsm = rcancsubmat
     sort_aln_frags(culled)
     maln_fn = f"{cfg.maln_root}.{iter_num}"
     if not cfg.iterate or not cfg.final_only:
-        write_ma(maln_fn, culled)
+        with profiling.phase("io.write_maln"):
+            write_ma(maln_fn, culled)
         if cfg.make_fastq:
             write_fastq(cfg.fastq_out_fn, fsdb)
 
     if cfg.iterate:
         _log("Generating new assembly consensus")
-        assembly_cons = consensus_assembly_string(culled)
+        with profiling.phase("consensus"):
+            assembly_cons = consensus_assembly_string(culled)
 
         while assembly_cons != last_assembly_cons and iter_num < MAX_ITER:
             iter_num += 1
@@ -584,11 +597,13 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 collapse_FSDB(
                     fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
                 )
-            reiterate_assembly(
-                assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat,
-                rcancsubmat, engine=cfg.engine, mesh=mesh,
-            )
-            pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
+            with profiling.phase("reiterate"):
+                reiterate_assembly(
+                    assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat,
+                    rcancsubmat, engine=cfg.engine, mesh=mesh,
+                )
+            with profiling.phase("filters.pop_smp"):
+                pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
             _log("Repeat and score filtering")
             if cfg.repeat_filt:
                 sort_fsdb(fsdb)
@@ -596,17 +611,20 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             if cfg.repeat_qual_filt:
                 sort_fsdb_qscore(fsdb)
                 set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
-            cull_maln_from_fsdb(
-                culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
-            )
+            with profiling.phase("filters.cull"):
+                cull_maln_from_fsdb(
+                    culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
+                )
             culled.fpsm = ancsubmat
             culled.rpsm = rcancsubmat
             sort_aln_frags(culled)
             maln_fn = f"{cfg.maln_root}.{iter_num}"
             if not cfg.final_only:
                 _log(f"Writing maln file for iteration {iter_num}")
-                write_ma(maln_fn, culled)
-            assembly_cons = consensus_assembly_string(culled)
+                with profiling.phase("io.write_maln"):
+                    write_ma(maln_fn, culled)
+            with profiling.phase("consensus"):
+                assembly_cons = consensus_assembly_string(culled)
 
         if assembly_cons == last_assembly_cons:
             _log("Assembly convergence - writing final maln")
@@ -614,7 +632,8 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             _log(f"Assembly did not converge after {iter_num} rounds, quitting")
         maln_fn = f"{cfg.maln_root}.{iter_num}"
         if cfg.final_only:
-            write_ma(maln_fn, culled)
+            with profiling.phase("io.write_maln"):
+                write_ma(maln_fn, culled)
         if cfg.make_fastq:
             write_fastq(cfg.fastq_out_fn, fsdb)
 
