@@ -90,10 +90,15 @@ def _norm_maln(path: str) -> bytes:
         return b"\n".join(fh.read().split(b"\n")[1:])
 
 
-def _run_ours(ref_fn, frag_fn, engine, tag, timeout=900) -> tuple[float, str] | None:
+def _run_ours(
+    ref_fn, frag_fn, engine, tag, timeout=900, env_extra=None
+) -> tuple[float, str] | None:
     d = tempfile.mkdtemp(prefix=f"bench_{tag}_")
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("MIA_TPU_SERVER", "0")  # explicit server rows only
+    if env_extra:
+        env.update(env_extra)
     t0 = time.time()
     try:
         subprocess.run(
@@ -105,6 +110,34 @@ def _run_ours(ref_fn, frag_fn, engine, tag, timeout=900) -> tuple[float, str] | 
     except Exception:
         return None
     return time.time() - t0, os.path.join(d, "out.maln.1")
+
+
+def _median_runs(n, fn):
+    """Median wall time over n runs of fn() -> (seconds, maln) | None."""
+    runs = [r for r in (fn() for _ in range(n)) if r]
+    if not runs:
+        return None
+    runs.sort(key=lambda r: r[0])
+    return runs[len(runs) // 2]
+
+
+def _start_server(sock: str):
+    """Resident scoring server on its own socket; returns the Popen (kill
+    THIS pid, never a pattern)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    log = open(sock + ".log", "wb")
+    srv = subprocess.Popen(
+        [sys.executable, "-m", "mia_tpu.cli.serve", "--sock", sock,
+         "--idle-timeout", "3600"],
+        env=env, stdout=log, stderr=log,
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and not os.path.exists(sock):
+        if srv.poll() is not None:
+            return None
+        time.sleep(0.3)
+    return srv if os.path.exists(sock) else None
 
 
 def _kernel_numbers(detail: dict) -> None:
@@ -286,18 +319,47 @@ def main() -> int:
     detail["c_seconds"] = round(c_seconds, 2)
 
     # --- our engines -------------------------------------------------------
+    # native: threaded C++ engine, median of 3.
+    # jax (no server): the production default path — work-steals to native
+    #   while the device program compiles/loads, so it is never slower than
+    #   native; cold (first-ever compile, writes the persistent cache) and
+    #   warm are reported separately.
+    # jax+server: the serving deployment — a resident process holds the
+    #   initialized backend + warm programs; runs only ship batches.  This
+    #   is where the chip's scoring latency actually shows up end-to-end.
     runs = {}
-    nat = _run_ours(ref_fn, frag_fn, "native", "nat")
+    nat = _median_runs(3, lambda: _run_ours(ref_fn, frag_fn, "native", "nat"))
     if nat:
         runs["native"] = nat
         detail["native_seconds"] = round(nat[0], 2)
     jx_cold = _run_ours(ref_fn, frag_fn, "jax", "jxc")
     if jx_cold:
         detail["jax_cold_seconds"] = round(jx_cold[0], 2)
-        jx = _run_ours(ref_fn, frag_fn, "jax", "jxw")
+        jx = _median_runs(3, lambda: _run_ours(ref_fn, frag_fn, "jax", "jxw"))
         if jx:
             runs["jax"] = jx
             detail["jax_warm_seconds"] = round(jx[0], 2)
+
+    sock = os.path.join(tempfile.mkdtemp(prefix="bench_srv_"), "serve.sock")
+    srv = _start_server(sock)
+    if srv is not None:
+        try:
+            senv = {"MIA_TPU_SERVER": sock, "MIA_TPU_STEAL": "0"}
+            sc = _run_ours(ref_fn, frag_fn, "jax", "jsc", env_extra=senv)
+            if sc:
+                detail["jax_server_cold_seconds"] = round(sc[0], 2)
+                sw = _median_runs(
+                    3, lambda: _run_ours(ref_fn, frag_fn, "jax", "jsw", env_extra=senv)
+                )
+                if sw:
+                    runs["jax_server"] = sw
+                    detail["jax_server_warm_seconds"] = round(sw[0], 2)
+        finally:
+            srv.terminate()
+            try:
+                srv.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                srv.kill()
 
     # correctness gate
     oracle = c_maln or (nat and nat[1])

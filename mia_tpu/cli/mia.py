@@ -232,6 +232,21 @@ def main(argv: list[str] | None = None) -> int:
     if cfg.profile:
         profiling.report()
     print(f"Assembly finished at {time.asctime()}\n", file=sys.stderr)
+    # a deferred device-init/warmup thread may still be inside an XLA
+    # compile (work-stealing finished the assembly without it); normal
+    # interpreter teardown would kill it mid-C++ and abort the process, so
+    # skip teardown entirely in that case
+    try:
+        from ..core import jax_engine
+
+        if jax_engine.background_work_pending():
+            sys.stdout.flush()
+            sys.stderr.flush()
+            import os
+
+            os._exit(0)
+    except ImportError:
+        pass
     return 0
 
 

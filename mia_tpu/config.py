@@ -36,10 +36,15 @@ class MiaConfig:
     ids_file: Optional[str] = None           # -I
     make_fastq: bool = False                 # -q
     fastq_out_fn: str = ""
-    # engine selection: "native" = threaded batched C++ host engine (default),
-    # "numpy" = exact per-read host path, "jax" = batched device scoring
-    # scoring with host traceback (same outputs)
-    engine: str = "native"
+    # engine selection (byte-identical outputs on every path):
+    #   "jax"    (default) — batched device scoring with host traceback.
+    #     Never slower than the native engine: batches are WORK-STOLEN by
+    #     the threaded C++ solver until the device program is warm
+    #     (core/assembler.py), and a resident scoring server
+    #     (mia_tpu.serve) removes the per-process backend init entirely.
+    #   "native" — threaded batched C++ host engine only.
+    #   "numpy"  — exact per-read host path (oracle).
+    engine: str = "jax"
     # data-parallel device count for --engine jax: entries shard over a
     # ("dp",) mesh; 0 = single device, -1 = all local devices
     dp_devices: int = 0

@@ -167,9 +167,24 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         from .jax_engine import Pass1Scorer, make_dp_mesh
 
         mesh = make_dp_mesh(cfg.dp_devices)
-        scorer = Pass1Scorer(
-            fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat, mesh=mesh
-        )
+        scorer = None
+        if mesh is None:
+            # resident scoring server (mia_tpu.serve): skips this process's
+            # backend init + executable load entirely when one is running
+            from ..serve import connect_scorer
+
+            scorer = connect_scorer(
+                fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat
+            )
+            if scorer is not None:
+                profiling.count("pass1.using_server")
+        if scorer is None:
+            # defer=True: the ~10 s backend init + executable load overlaps
+            # the read streaming below instead of blocking before it
+            scorer = Pass1Scorer(
+                fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat, mesh=mesh,
+                defer=True,
+            )
 
     # asynchronous device pipeline: batches dispatch without blocking and
     # drain in read order as their results land (or when the inflight cap is
@@ -177,6 +192,13 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     inflight: list = []
     NATIVE_BATCH = 4096
     MAX_INFLIGHT = 16
+    # work-stealing switch state for the device path (MIA_TPU_STEAL=0
+    # forces every batch to wait for the device — tests use it so the
+    # device path is actually exercised on fast-compile backends)
+    import os as _os
+
+    steal = _os.environ.get("MIA_TPU_STEAL", "1") != "0"
+    device_on = False
 
     def _host_align_one(f) -> None:
         """Per-read host fallback (mask too fragmented for the device)."""
@@ -265,7 +287,8 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         profiling.count("pass1.batches_drained")
         records, handle, prep = inflight.pop(0)
         arena, off, lens, fw_ivg, rc_ivg, flags = prep
-        fb, fa, rb, ra = scorer.collect_arrays(handle)
+        with profiling.phase("pass1.collect_wait"):
+            fb, fa, rb, ra = scorer.collect_arrays(handle)
         # reads whose band exceeds the device window: threaded native solve
         # (there is deliberately no second full-width device program)
         wide_idx = [
@@ -306,17 +329,19 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             ivg = np.where(
                 strand_a[:, None, None] == 1, rc_ivg[widx], fw_ivg[widx]
             )
-            meta, ref_arena, frag_arena = bhost.finish(
-                arena,
-                off[widx],
-                lens[widx],
-                strand_a,
-                np.zeros(len(win), np.uint8),
-                np.asarray(bests, np.int32),
-                np.asarray(aecs, np.int32),
-                ivg,
-            )
+            with profiling.phase("pass1.native_finish"):
+                meta, ref_arena, frag_arena = bhost.finish(
+                    arena,
+                    off[widx],
+                    lens[widx],
+                    strand_a,
+                    np.zeros(len(win), np.uint8),
+                    np.asarray(bests, np.int32),
+                    np.asarray(aecs, np.int32),
+                    ivg,
+                )
         cap = bhost.TRACE_CAP
+        t_merge = time.time()
         w = 0
         for i, f in enumerate(records):
             fl = flags[i]
@@ -348,6 +373,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 pw,
             )
             w += 1
+        profiling.add_time("pass1.py_merge", time.time() - t_merge)
 
     def _flush_native() -> None:
         """Fully-native batched pass 1: one threaded FFI call does k-mer
@@ -427,13 +453,15 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                     (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
                     for f in records
                 ]
-                arena, off, lens = bhost.pack_reads(reads)
-                s2c, fw_ws, rc_ws, fw_ivg, rc_ivg, flags = bhost.prepare(
-                    arena, off, lens, L_MAX, MAX_INTERVALS
-                )
-                handle = scorer.dispatch_packed(
-                    s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags
-                )
+                with profiling.phase("pass1.pack_prepare"):
+                    arena, off, lens = bhost.pack_reads(reads)
+                    s2c, fw_ws, rc_ws, fw_ivg, rc_ivg, flags = bhost.prepare(
+                        arena, off, lens, L_MAX, MAX_INTERVALS
+                    )
+                with profiling.phase("pass1.dispatch"):
+                    handle = scorer.dispatch_packed(
+                        s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags
+                    )
                 inflight.append(
                     (records, handle, (arena, off[:-1], lens, fw_ivg, rc_ivg, flags))
                 )
@@ -451,7 +479,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         while inflight and (
             final
             or len(inflight) > MAX_INFLIGHT
-            or Pass1Scorer.ready(inflight[0][1])
+            or type(scorer).ready(inflight[0][1])
         ):
             if bhost is not None:
                 _drain_oldest_native()
@@ -472,10 +500,19 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                     _flush_native()
             elif bhost is not None:
                 # batched device path: the native engine applies the k-mer
-                # filter, the TPU scores, the native engine tracebacks
+                # filter, the TPU scores, the native engine tracebacks.
+                # Until the device program is compiled/loaded, full batches
+                # are WORK-STOLEN by the threaded native solver so a cold
+                # compile never stalls the pipeline; the switch to the
+                # device is one-way, preserving stream merge order.
                 pending.append(frag_seq)
                 if len(pending) >= scorer.batch:
-                    flush_pending()
+                    if device_on or not steal or scorer.device_ready():
+                        device_on = True
+                        flush_pending()
+                    else:
+                        profiling.count("pass1.batches_stolen_native")
+                        _flush_native()
             else:
                 frag_len = (
                     frag_seq.trim_point + 1 if frag_seq.trimmed else frag_seq.seq_len
@@ -510,6 +547,15 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     if use_native:
         _flush_native()
     elif use_jax:
+        if (
+            bhost is not None
+            and pending
+            and steal
+            and not device_on
+            and not scorer.device_ready()
+        ):
+            profiling.count("pass1.batches_stolen_native")
+            _flush_native()
         flush_pending(final=True)
     if bhost is not None:
         bhost.close()

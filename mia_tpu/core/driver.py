@@ -384,19 +384,48 @@ def reiterate_assembly(
             device: list = []
             scorer = None
             if engine == "jax" and not a.hp:
+                import os
+
                 from ..utils.encoding import encode_seq
                 from .jax_engine import Pass1Scorer, WIN_W, L_MAX
 
                 try:
-                    scorer = Pass1Scorer(
-                        encode_seq(ref.seq[: ref.wrap_seq_len]),
-                        encode_seq(ref.seq[: ref.wrap_seq_len]),
-                        ref.wrap_seq_len,
-                        ancsubmat,
-                        rcancsubmat,
-                        mesh=mesh,
-                        warm=False,
-                    )
+                    enc = encode_seq(ref.seq[: ref.wrap_seq_len])
+                    if mesh is None:
+                        from ..serve import connect_scorer
+
+                        scorer = connect_scorer(
+                            enc, enc, ref.wrap_seq_len, ancsubmat, rcancsubmat
+                        )
+                        if (
+                            scorer is not None
+                            and os.environ.get("MIA_TPU_STEAL", "1") != "0"
+                            and not scorer.device_ready()
+                        ):
+                            scorer = None  # cold server: realign natively
+                    if scorer is None:
+                        scorer = Pass1Scorer(
+                            enc,
+                            enc,
+                            ref.wrap_seq_len,
+                            ancsubmat,
+                            rcancsubmat,
+                            mesh=mesh,
+                            warm=False,
+                            defer=True,
+                        )
+                        # use the device only when its program is already
+                        # compiled/loaded in-process (pass 1 warmed it); a
+                        # cold compile would stall the whole iteration, and
+                        # the native window solver is fast — same
+                        # work-stealing policy as pass 1 (MIA_TPU_STEAL=0
+                        # forces the wait)
+                        if os.environ.get("MIA_TPU_STEAL", "1") != "0":
+                            scorer._dev_ready.wait(timeout=2.0)
+                            if not scorer.device_ready():
+                                scorer = None
+                        else:
+                            scorer._wait_ready()
                 except Exception:
                     scorer = None  # no usable device: all-native realign
             for fs in fsdb.fss:

@@ -71,11 +71,62 @@ L_MAX = INIT_ALN_SEQ_LEN     # 256: the reference's hard read-length cap
 REF_BUCKET = 2048            # reference width pads to a multiple of this
 BLOCK_B = 32                 # Pallas batch-block (entries per grid step)
 
+# jitted programs that have completed at least one dispatch+collect in this
+# process: their executable is compiled/loaded and further dispatches will
+# not stall.  Work-stealing (assembler) and the reiterate device group use
+# this to decide whether the device can be used without blocking.
+_RUN_PROGRAMS: set = set()
+
+# live deferred-init/warmup threads; a CLI must not let the interpreter tear
+# down while one is inside an XLA compile (the daemon thread dies mid-C++ and
+# the process aborts with "terminate called ..."), so mia.py checks
+# background_work_pending() and uses os._exit to skip teardown when needed
+_INIT_THREADS: list = []
+
+
+def background_work_pending() -> bool:
+    return any(t.is_alive() for t in _INIT_THREADS)
+
 
 @dataclass
 class StrandScore:
     best: int
     aec: int
+
+
+def build_pass1_entries(s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags):
+    """(ref_sel, starts, ivl, s2c2, ln2, smidx) entry arrays for one pass-1
+    read batch (each read = fw + rc entries); shared by the local scorer and
+    the server client.  flags: FLAG_SKIP/HOST_ONLY/WIDE reads get empty
+    intervals (their scores are garbage the caller ignores)."""
+    from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP, FLAG_WIDE
+
+    n = len(lens)
+    inactive = (flags & (FLAG_SKIP | FLAG_HOST_ONLY | FLAG_WIDE)) != 0
+
+    def local_iv(ivg, ws):
+        used = (ivg[:, :, 1] > 0) & ~inactive[:n, None]
+        return np.where(used[:, :, None], ivg - ws[:n, None, None], 0).astype(
+            np.int32
+        )
+
+    ref_sel = np.repeat(np.array([0, 1], np.int8), n)
+    starts = np.concatenate([fw_ws, rc_ws]).astype(np.int32)
+    ivl = np.concatenate([local_iv(fw_ivg, fw_ws), local_iv(rc_ivg, rc_ws)])
+    s2c2 = np.concatenate([s2c, s2c]).astype(np.int8)
+    ln2 = np.concatenate([lens, lens]).astype(np.int32)
+    smidx = np.zeros(2 * n, np.int8)
+    return ref_sel, starts, ivl, s2c2, ln2, smidx
+
+
+def split_pass1_results(best, aec, fw_ws, rc_ws):
+    """(fb, fa, rb, ra) with aec in GLOBAL reference coordinates."""
+    n = len(best) // 2
+    fb = best[:n]
+    fa = aec[:n] + fw_ws[:n]
+    rb = best[n:]
+    ra = aec[n:] + rc_ws[:n]
+    return fb, fa, rb, ra
 
 
 def mask_intervals(mask: np.ndarray) -> np.ndarray | None:
@@ -131,8 +182,11 @@ def device_depths(lengths, L: int):
     """PSSM depth slot per (entry, row), on device (find_sm_depth,
     src/pssm.c:36-46; identical to ops.dp_jax.depths_for)."""
     import jax.numpy as jnp
+    from jax import lax
 
-    rows = jnp.arange(L, dtype=jnp.int32)[None, :]
+    # lax.iota (not jnp.arange): trace-time concrete constants get hoisted
+    # as executable parameters and break cross-program dispatch on meshes
+    rows = lax.iota(jnp.int32, L)[None, :]
     ln = lengths[:, None]
     from_back = ln - (rows + 1)
     d = jnp.where(
@@ -143,26 +197,35 @@ def device_depths(lengths, L: int):
     return jnp.clip(d, 0, 2 * PSSM_DEPTH)
 
 
-def _entries_core(refs, ref_sel, starts, ivl, s2c, lengths, smidx, sms,
+def _entries_core(refs, ref_sel, starts, ivl, s2c, lengths, smidx, maxlens, sms,
                   use_pallas: bool, block_b: int):
     """Trace-time body shared by the plain and shard_map'd programs."""
     import jax.numpy as jnp
+    from jax import lax
 
     WTOT = refs.shape[1]
     # one fused gather: [E, WIN_W] window codes from the selected strand
+    # (lax.iota, not jnp.arange — see device_depths)
     flat = refs.reshape(-1)
     idx = (
         ref_sel.astype(jnp.int32)[:, None] * WTOT
-        + starts[:, None]
-        + jnp.arange(WIN_W, dtype=jnp.int32)[None, :]
+        + starts.astype(jnp.int32)[:, None]
+        + lax.iota(jnp.int32, WIN_W)[None, :]
     )
     wins = flat[idx].astype(jnp.int32)
-    cols = jnp.arange(WIN_W, dtype=jnp.int32)[None, None, :]
-    maskw = ((cols >= ivl[:, :, 0][:, :, None]) & (cols < ivl[:, :, 1][:, :, None])).any(
-        axis=1
-    )
-    s2c32 = s2c.astype(jnp.int32)
-    depths = device_depths(lengths, s2c.shape[1])
+    cols = lax.iota(jnp.int32, WIN_W)[None, None, :]
+    ivl32 = ivl.astype(jnp.int32)
+    maskw = (
+        (cols >= ivl32[:, :, 0][:, :, None]) & (cols < ivl32[:, :, 1][:, :, None])
+    ).any(axis=1)
+    # read codes arrive nibble-packed (two 0..4 codes per byte): the tunnel
+    # link is ~30 MB/s, so halving the dominant [E, L] payload matters more
+    # than the two unpack ops cost
+    lo4 = (s2c & 0xF).astype(jnp.int32)
+    hi4 = ((s2c >> 4) & 0xF).astype(jnp.int32)
+    E = s2c.shape[0]
+    s2c32 = jnp.stack([lo4, hi4], axis=-1).reshape(E, 2 * s2c.shape[1])
+    depths = device_depths(lengths, s2c32.shape[1])
     # row_sm[e, r, i] = sms[smidx[e], depth(e,r), i, s2c[e,r]] — computed on
     # device so only the int8 codes ship
     sm_t = jnp.transpose(sms, (0, 1, 3, 2))  # [2, 31, read_base, ref_base]
@@ -170,7 +233,10 @@ def _entries_core(refs, ref_sel, starts, ivl, s2c, lengths, smidx, sms,
     if use_pallas:
         from ..ops.dp_pallas import pallas_last_row
 
-        last = pallas_last_row(wins, maskw, row_sm, lengths, sg5=True, block_b=block_b)
+        last = pallas_last_row(
+            wins, maskw, row_sm, lengths, sg5=True, block_b=block_b,
+            maxlens=maxlens,
+        )
     else:
         from ..ops.dp_jax import batch_last_row_rowsm
 
@@ -185,9 +251,10 @@ def _plain_fn(use_pallas: bool, block_b: int):
     import jax
 
     @jax.jit
-    def fn(refs, ref_sel, starts, ivl, s2c, lengths, smidx, sms):
+    def fn(refs, ref_sel, starts, ivl, s2c, lengths, smidx, maxlens, sms):
         return _entries_core(
-            refs, ref_sel, starts, ivl, s2c, lengths, smidx, sms, use_pallas, block_b
+            refs, ref_sel, starts, ivl, s2c, lengths, smidx, maxlens, sms,
+            use_pallas, block_b,
         )
 
     return fn
@@ -204,23 +271,36 @@ def _mesh_fn(mesh, use_pallas: bool, block_b: int):
     fn = functools.partial(
         _entries_core, use_pallas=use_pallas, block_b=block_b
     )
+    in_specs = (
+        P(None, None),        # refs [2, WTOT] replicated
+        P("dp"),              # ref_sel [E]
+        P("dp"),              # starts [E]
+        P("dp", None, None),  # ivl [E, K, 2]
+        P("dp", None),        # s2c [E, L]
+        P("dp"),              # lengths [E]
+        P("dp"),              # smidx [E]
+        P("dp"),              # maxlens [E // block_b]
+        P(None, None, None, None),  # sms [2, 31, 5, 5] replicated
+    )
     sharded = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(
-            P(None, None),        # refs [2, WTOT] replicated
-            P("dp"),              # ref_sel [E]
-            P("dp"),              # starts [E]
-            P("dp", None, None),  # ivl [E, K, 2]
-            P("dp", None),        # s2c [E, L]
-            P("dp"),              # lengths [E]
-            P("dp"),              # smidx [E]
-            P(None, None, None, None),  # sms [2, 31, 5, 5] replicated
-        ),
+        in_specs=in_specs,
         out_specs=P(None, "dp"),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    from jax.sharding import NamedSharding
+
+    # explicit in/out shardings: without them, running any single-device
+    # jit program first leaves jit's C++ fastpath resolving this program's
+    # np.ndarray args against trimmed PartitionSpecs (AssertionError (1,3))
+    # or executing with a mismatched buffer layout ("supplied 8 buffers but
+    # compiled program expected 9")
+    return jax.jit(
+        sharded,
+        in_shardings=tuple(NamedSharding(mesh, s) for s in in_specs),
+        out_shardings=NamedSharding(mesh, P(None, "dp")),
+    )
 
 
 class Pass1Scorer:
@@ -240,14 +320,8 @@ class Pass1Scorer:
         batch: int | None = None,
         mesh=None,
         warm: bool = True,
+        defer: bool = False,
     ):
-        import jax
-        import jax.numpy as jnp
-
-        from ..utils.jaxcfg import setup_jax_cache
-
-        setup_jax_cache()
-
         self.len1 = len1
         self.batch = batch or default_batch()
         self.E = 2 * self.batch
@@ -260,30 +334,113 @@ class Pass1Scorer:
         refs = np.full((2, self.WTOT), 4, np.int8)
         refs[0, :len1] = np.asarray(fw_s1c[:len1], dtype=np.int8)
         refs[1, :len1] = np.asarray(rc_s1c[:len1], dtype=np.int8)
-        sms = np.stack(
+        self._refs_np = refs
+        self._sms_np = np.stack(
             [
                 np.asarray(submat, dtype=np.int32),
                 np.asarray(submat_b if submat_b is not None else submat, np.int32),
             ]
         )
-        self._refs = jnp.asarray(refs)
-        self._sms = jnp.asarray(sms)
-        self._use_pallas = jax.devices()[0].platform != "cpu"
         self._mesh = mesh
+        self._warm = warm
+        self._warmed = False
+        self._dev_ready = threading.Event()
+        self._init_error: BaseException | None = None
+        self._init_thread = None
+        if defer:
+            # pass-1 path: the ~10 s backend init + executable load runs on
+            # a daemon thread while the host streams and packs reads; the
+            # first dispatch joins it
+            self._init_thread = threading.Thread(
+                target=self._init_device_guarded, daemon=True
+            )
+            _INIT_THREADS.append(self._init_thread)
+            self._init_thread.start()
+        else:
+            self._init_device_guarded()
+            if self._init_error is not None:
+                raise self._init_error
+
+    def _init_device_guarded(self) -> None:
+        try:
+            self._init_device()
+        except BaseException as e:  # surfaced by _wait_ready at dispatch
+            self._init_error = e
+            self._dev_ready.set()
+            return
+        # ready BEFORE the warmup dispatch: _warmup goes through
+        # dispatch_entries -> _wait_ready and must not deadlock; an early
+        # real dispatch simply shares the jit-internal compile lock
+        self._dev_ready.set()
+        if self._warm:
+            self._warmup()
+
+    def _init_device(self) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..utils.jaxcfg import setup_jax_cache
+
+        setup_jax_cache()
+        mesh = self._mesh
+        self._refs = jnp.asarray(self._refs_np)
+        self._sms = jnp.asarray(self._sms_np)
+        self._use_pallas = jax.devices()[0].platform != "cpu"
         # Pallas batch-block: largest power of two <= BLOCK_B dividing the
         # per-device entry count
         per_dev = self.E // (mesh.size if mesh is not None else 1)
         bb = BLOCK_B
         while bb > 1 and per_dev % bb:
             bb //= 2
+        self._bb = bb
+        self._nd = mesh.size if mesh is not None else 1
         if mesh is not None and mesh.size > 1:
             self._fn = _mesh_fn(mesh, self._use_pallas, bb)
+            # jit's C++ fastpath mis-shards raw numpy args once warmed by a
+            # previously-run single-device program (it applies the
+            # executable's trailing-None-trimmed PartitionSpec to the raw
+            # array: AssertionError (1, 3) on the rank-3 ivl); pre-placing
+            # every per-entry arg with an explicit full-rank NamedSharding
+            # sidesteps that path entirely
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            def sh(*spec):
+                return NamedSharding(mesh, P(*spec))
+
+            self._arg_shardings = (
+                sh("dp"),              # ref_sel [E]
+                sh("dp"),              # starts [E]
+                sh("dp", None, None),  # ivl [E, K, 2]
+                sh("dp", None),        # s2c [E, L]
+                sh("dp"),              # lengths [E]
+                sh("dp"),              # smidx [E]
+                sh("dp"),              # maxlens [E // bb]
+            )
+            self._refs = jax.device_put(self._refs, sh(None, None))
+            self._sms = jax.device_put(self._sms, sh(None, None, None, None))
         else:
             self._fn = _plain_fn(self._use_pallas, bb)
-        self._warmup_thread = None
-        if warm:
-            self._warmup_thread = threading.Thread(target=self._warmup, daemon=True)
-            self._warmup_thread.start()
+            self._arg_shardings = None
+
+    def _wait_ready(self) -> None:
+        """Block until the device program is constructed; re-raise any
+        construction failure at the caller (the dispatch site)."""
+        self._dev_ready.wait()
+        if self._init_error is not None:
+            raise self._init_error
+
+    def device_ready(self) -> bool:
+        """True once the device can score a batch without stalling the
+        caller on backend init or executable compile/load (non-blocking).
+        The assembler work-steals: batches go to the native engine until
+        this flips, so a cold compile never blocks the pipeline."""
+        if not self._dev_ready.is_set() or self._init_error is not None:
+            return False
+        return self._fn in _RUN_PROGRAMS
+
+    def failed(self) -> bool:
+        return self._dev_ready.is_set() and self._init_error is not None
 
     def _warmup(self) -> None:
         """Compile the program on dummy inputs and FETCH the result (daemon
@@ -300,6 +457,7 @@ class Pass1Scorer:
                 np.zeros(1, np.int8),
             )
             self.collect_entries(h)
+            self._warmed = True
         except Exception:  # warmup is an optimization; dispatch will retry
             pass
 
@@ -309,10 +467,18 @@ class Pass1Scorer:
 
         ivl holds WINDOW-LOCAL [lo, hi) intervals (global band minus the
         entry's window start); entries with all-zero intervals score HIM.
-        Returns an opaque handle for :meth:`collect_entries`."""
+        Returns an opaque handle for :meth:`collect_entries`.
+
+        Entries ship length-sorted (descending) so each Pallas batch block
+        carries a tight per-block row bound — padding blocks (length 1) cost
+        ~nothing and a block of 60 bp reads runs 60 rows, not L_MAX.  Under
+        a dp mesh the sorted blocks deal round-robin across devices so every
+        shard gets the same length mix.  collect_entries undoes the
+        permutation."""
+        self._wait_ready()
         n = len(ref_sel)
         if n == 0:
-            return (None, 0)
+            return (None, 0, None)
         E = self.E
         assert n <= E
 
@@ -323,19 +489,41 @@ class Pass1Scorer:
             out[:n] = a
             return out
 
-        s2c_p = np.full((E, L_MAX), 4, np.int8)
+        s2c_p = np.full((E, L_MAX), 4, np.uint8)
         s2c_p[:n, : s2c.shape[1]] = s2c
-        out = self._fn(
-            self._refs,
-            pad(np.ascontiguousarray(ref_sel, np.int8)),
-            pad(np.ascontiguousarray(starts, np.int32)),
-            pad(np.ascontiguousarray(ivl, np.int32)),
-            s2c_p,
-            pad(np.maximum(np.ascontiguousarray(lengths, np.int32), 1), 1),
-            pad(np.ascontiguousarray(smidx, np.int8)),
-            self._sms,
+        lens_p = pad(np.maximum(np.ascontiguousarray(lengths, np.int32), 1), 1)
+        bb, nd = self._bb, self._nd
+        nb = E // bb
+        perm = np.argsort(-lens_p, kind="stable")
+        if nd > 1:
+            # block j of the sorted order lands on device j % nd
+            order = np.concatenate([np.arange(d, nb, nd) for d in range(nd)])
+            perm = perm.reshape(nb, bb)[order].reshape(E)
+        lens_s = lens_p[perm]
+        maxlens = np.ascontiguousarray(lens_s.reshape(nb, bb).max(axis=1))
+        s2c_p = s2c_p[perm]
+        # nibble-pack the read codes (codes 0..4, two per byte) — halves the
+        # dominant per-batch transfer over the tunnel
+        s2c4 = np.ascontiguousarray(s2c_p[:, 0::2] | (s2c_p[:, 1::2] << 4))
+        args = (
+            pad(np.ascontiguousarray(ref_sel, np.int8))[perm],
+            pad(np.ascontiguousarray(starts, np.int32))[perm],
+            pad(np.ascontiguousarray(ivl, np.int16))[perm],
+            s2c4,
+            lens_s,
+            pad(np.ascontiguousarray(smidx, np.int8))[perm],
+            maxlens,
         )
-        return (out, n)
+        if self._arg_shardings is not None:
+            import jax
+
+            args = tuple(
+                jax.device_put(a, s) for a, s in zip(args, self._arg_shardings)
+            )
+        out = self._fn(self._refs, *args, self._sms)
+        inv = np.empty(E, np.int64)
+        inv[perm] = np.arange(E)
+        return (out, n, inv)
 
     @staticmethod
     def ready(handle) -> bool:
@@ -348,14 +536,16 @@ class Pass1Scorer:
         except AttributeError:  # backend without is_ready(): treat as ready
             return True
 
-    @staticmethod
-    def collect_entries(handle):
+    def collect_entries(self, handle):
         """Materialise a dispatched batch: (best, aec) int64 arrays [n];
         aec is WINDOW-LOCAL (add the entry's window start)."""
         import jax
 
-        out, n = handle
-        arr = jax.device_get(out)
+        out, n, inv = handle
+        if out is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        arr = jax.device_get(out)[:, inv]
+        _RUN_PROGRAMS.add(self._fn)
         return arr[0, :n].astype(np.int64), arr[1, :n].astype(np.int64)
 
     # ------------------------------------------------- pass-1 (two strands)
@@ -367,41 +557,20 @@ class Pass1Scorer:
         flags: per-read FLAG_SKIP / FLAG_HOST_ONLY / FLAG_WIDE bits; flagged
         reads get empty intervals (garbage scores the caller must ignore —
         WIDE reads are solved by the native engine instead)."""
-        from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP, FLAG_WIDE
-
         n = len(lens)
         if n == 0:
-            return (None, 0, None, None)
+            return (None, 0, None, None, None)
         assert n <= self.batch
-
-        inactive = (flags & (FLAG_SKIP | FLAG_HOST_ONLY | FLAG_WIDE)) != 0
-
-        def local_iv(ivg, ws):
-            used = (ivg[:, :, 1] > 0) & ~inactive[:n, None]
-            return np.where(used[:, :, None], ivg - ws[:n, None, None], 0).astype(
-                np.int32
-            )
-
-        ref_sel = np.repeat(np.array([0, 1], np.int8), n)
-        starts = np.concatenate([fw_ws, rc_ws]).astype(np.int32)
-        ivl = np.concatenate([local_iv(fw_ivg, fw_ws), local_iv(rc_ivg, rc_ws)])
-        s2c2 = np.concatenate([s2c, s2c]).astype(np.int8)
-        ln2 = np.concatenate([lens, lens]).astype(np.int32)
-        smidx = np.zeros(2 * n, np.int8)
-        handle = self.dispatch_entries(ref_sel, starts, ivl, s2c2, ln2, smidx)
+        entries = build_pass1_entries(s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags)
+        handle = self.dispatch_entries(*entries)
         return handle + (fw_ws.copy(), rc_ws.copy())
 
     def collect_arrays(self, handle):
         """Materialise a packed pass-1 batch: (fb, fa, rb, ra) int64 [n]
         with aec in GLOBAL reference coordinates."""
-        out, n2, fw_ws, rc_ws = handle
-        best, aec = self.collect_entries((out, n2))
-        n = n2 // 2
-        fb = best[:n]
-        fa = aec[:n] + fw_ws[:n]
-        rb = best[n:]
-        ra = aec[n:] + rc_ws[:n]
-        return fb, fa, rb, ra
+        out, n2, inv, fw_ws, rc_ws = handle
+        best, aec = self.collect_entries((out, n2, inv))
+        return split_pass1_results(best, aec, fw_ws, rc_ws)
 
     # --------------------------------------------------- mask-based dispatch
     def dispatch(self, reads, fw_masks, rc_masks):
@@ -413,7 +582,7 @@ class Pass1Scorer:
 
         n = len(reads)
         if n == 0:
-            return (None, 0, None, None, np.zeros(0, bool))
+            return (None, 0, None, None, None, np.zeros(0, bool))
         assert n <= self.batch
 
         K = MAX_INTERVALS

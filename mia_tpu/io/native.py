@@ -19,18 +19,62 @@ _LIB = None
 _TRIED = False
 
 
+def _build(native_dir: str) -> None:
+    """Build libmiaio.so in-tree when sources are present but the library is
+    not (fresh checkout).  Serialised across processes with an exclusive
+    lock so concurrent engines don't race the compiler; any failure just
+    leaves the Python fallbacks in charge."""
+    import subprocess
+
+    lock = os.path.join(native_dir, ".build.lock")
+    try:
+        import fcntl
+
+        with open(lock, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            if not os.path.exists(os.path.join(native_dir, "libmiaio.so")):
+                subprocess.run(
+                    ["make", "-C", native_dir],
+                    check=True,
+                    capture_output=True,
+                    timeout=300,
+                )
+    except Exception:
+        pass
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(
+    native_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "native",
-        "libmiaio.so",
     )
-    if not os.path.exists(path):
-        return None
+    path = os.path.join(native_dir, "libmiaio.so")
+    stale = False
+    if os.path.exists(path):
+        try:
+            import glob
+
+            so_mtime = os.path.getmtime(path)
+            stale = any(
+                os.path.getmtime(src) > so_mtime
+                for src in glob.glob(os.path.join(native_dir, "src", "*.cc"))
+            )
+        except OSError:
+            pass
+    if stale or not os.path.exists(path):
+        if os.path.exists(os.path.join(native_dir, "Makefile")):
+            if stale:
+                try:
+                    os.remove(path)
+                except OSError:
+                    pass
+            _build(native_dir)
+        if not os.path.exists(path):
+            return None
     lib = ctypes.CDLL(path)
     lib.mia_parse_reads.restype = ctypes.c_void_p
     lib.mia_parse_reads.argtypes = [ctypes.c_char_p, ctypes.c_int]

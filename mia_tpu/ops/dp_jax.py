@@ -25,7 +25,9 @@ import numpy as np
 
 from ..constants import GEP, GOP, HIM
 
-_LOW = jnp.int32(-(2**30) - 2**29)  # below any reachable value, no overflow
+# np scalar, not jnp: a module-level jnp.int32 is a concrete device array
+# that gets hoisted as an executable parameter under some program orderings
+_LOW = np.int32(-(2**30) - 2**29)  # below any reachable value, no overflow
 
 
 @functools.partial(jax.jit, static_argnames=("sg5",))
@@ -45,7 +47,7 @@ def batch_last_row(
     """
     B, W = mask.shape
     L = s2c.shape[1]
-    cols = jnp.arange(W, dtype=jnp.int32)
+    cols = jax.lax.iota(jnp.int32, W)  # symbolic: no hoisted consts
     s1c2d = s1c if s1c.ndim == 2 else jnp.broadcast_to(s1c[None, :], (B, W))
 
     # row 0: plain substitution scores on open columns (depth 0 always,
@@ -119,7 +121,7 @@ def batch_last_row(
         return (new_row, prev, rbest_val, snap), None
 
     (prev, prev2, rbest, snap), _ = jax.lax.scan(
-        step, init, jnp.arange(1, L, dtype=jnp.int32)
+        step, init, jax.lax.iota(jnp.int32, L - 1) + 1
     )
     return snap
 
@@ -138,7 +140,7 @@ def batch_last_row_rowsm(
     (fw vs rc matrix) costs one gather instead of a second program."""
     B, W = mask.shape
     L = row_sm.shape[1]
-    cols = jnp.arange(W, dtype=jnp.int32)
+    cols = jax.lax.iota(jnp.int32, W)  # symbolic: no hoisted consts
     s1c2d = s1c
 
     cell0 = jnp.take_along_axis(row_sm[:, 0, :], s1c2d, axis=1)
@@ -200,7 +202,7 @@ def batch_last_row_rowsm(
         return (new_row, prev, rbest_val, snap), None
 
     (_, _, _, snap), _ = jax.lax.scan(
-        step, init, jnp.arange(1, L, dtype=jnp.int32)
+        step, init, jax.lax.iota(jnp.int32, L - 1) + 1
     )
     return snap
 

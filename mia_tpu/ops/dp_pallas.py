@@ -7,8 +7,16 @@ doubling scan over lanes (log2(W) shifted maxes), everything else is pure VPU
 elementwise work.  Integer semantics identical to
 :mod:`mia_tpu.ops.dp_numpy` — this kernel feeds the same host traceback.
 
-Per-cell work: ~14 int32 vector ops + ~2*log2(W)/row amortised scan ops; at
-W=16k, L=128 a block of 8 reads is ~16M cells with ~4.6MB of VMEM resident.
+Row work is bounded per block: callers sort entries by read length
+(jax_engine.dispatch_entries) and ship a per-block row bound, so a block of
+~60 bp reads runs ~60 DP rows instead of the padded L_MAX=256 — the
+dominant win over the round-3 kernel, which paid full padding for every
+read (ancient-DNA reads are ~40-120 bp, reference cap 256:
+/root/reference/src/params.h:68).
+
+Per-cell work: ~14 int32 vector ops + ~2*log2(W)/row amortised scan ops; a
+[BB=32, W=384] block holds ~10 vector slabs of 48 KB in VMEM plus the
+[L, BB, 5] score table (160 KB).
 """
 from __future__ import annotations
 
@@ -36,9 +44,10 @@ def _prefix_max_lanes(x: jax.Array, W: int) -> jax.Array:
 
 
 def _dp_kernel(
+    maxlen_ref,   # [NB] int32 scalar-prefetch: per-block row bound
     s1c_ref,      # [1, W] shared or [BB, W] per-read int32
     mask_ref,     # [BB, W] int32 (0/1)
-    row_sm_ref,   # [BB, L, 5] int32 precomputed per-row substitution scores
+    row_sm_ref,   # [L, BB, 5] int32 precomputed per-row substitution scores
     lengths_ref,  # [BB, 1] int32
     out_ref,      # [BB, W] int32 snapshot of each read's last row
     *,
@@ -55,10 +64,13 @@ def _dp_kernel(
     lengths = lengths_ref[...]  # [BB,1]
 
     def cell_sub_for(row):
-        # row_sm[b, row, s1c[b, w]] as five masked selects (VPU-friendly gather)
+        # row_sm[row, b, s1c[b, w]] as five masked selects (VPU-friendly
+        # gather); the row index is on the LEADING dim so the dynamic slice
+        # is a cheap contiguous VMEM read
+        sm_row = row_sm_ref[row]  # [BB, 5]
         acc = jnp.zeros((BB, W), jnp.int32)
         for i in range(5):
-            v = row_sm_ref[:, row, i][:, None]  # [BB,1]
+            v = sm_row[:, i][:, None]  # [BB,1]
             acc = jnp.where(s1c == i, v, acc)
         return acc
 
@@ -101,7 +113,8 @@ def _dp_kernel(
         snap = jnp.where(lengths - 1 == row, new_row, snap)
         return new_row, prev, rbest, snap
 
-    _, _, _, snap = jax.lax.fori_loop(1, L, body, (row0, row0, row0, row0))
+    row_hi = maxlen_ref[pl.program_id(0)]  # dynamic: rows 1..maxlen-1 only
+    _, _, _, snap = jax.lax.fori_loop(1, row_hi, body, (row0, row0, row0, row0))
     out_ref[...] = snap
 
 
@@ -113,41 +126,51 @@ def pallas_last_row(
     lengths: jax.Array,  # [B] int32
     sg5: bool = True,
     block_b: int = 8,
+    maxlens: jax.Array | None = None,  # [B // block_b] int32 per-block bound
 ) -> jax.Array:
     """Pallas-call wrapper: grid over batch blocks; returns [B, W] int32 last
     DP rows.  ``s1c`` may be a single shared reference row or one reference
-    window per read (the banded pass-1 path)."""
+    window per read (the banded pass-1 path).  ``maxlens`` bounds each
+    block's row loop (callers sort by length); None runs every row."""
     B, W = mask.shape
     L = row_sm.shape[1]
     assert B % block_b == 0, "pad the batch to a multiple of block_b"
+    NB = B // block_b
+    if maxlens is None:
+        maxlens = jnp.full((NB,), L, jnp.int32)
     kernel = functools.partial(_dp_kernel, W=W, L=L, sg5=sg5)
     if s1c.ndim == 1:
         s1c_arg = s1c.reshape(1, W).astype(jnp.int32)
-        s1c_spec = pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        s1c_spec = pl.BlockSpec((1, W), lambda i, *_: (0, 0))
     else:
         s1c_arg = s1c.astype(jnp.int32)
-        s1c_spec = pl.BlockSpec(
-            (block_b, W), lambda i: (i, 0), memory_space=pltpu.VMEM
-        )
+        s1c_spec = pl.BlockSpec((block_b, W), lambda i, *_: (i, 0))
+    # per-block row bounds ride scalar prefetch (SMEM, indexed by program
+    # id); (1,1) SMEM blocks are rejected by the Mosaic lowering
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NB,),
+        in_specs=[
+            s1c_spec,
+            pl.BlockSpec((block_b, W), lambda i, *_: (i, 0)),
+            pl.BlockSpec((L, block_b, 5), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((block_b, 1), lambda i, *_: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_b, W), lambda i, *_: (i, 0)),
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, W), jnp.int32),
-        grid=(B // block_b,),
-        in_specs=[
-            s1c_spec,
-            pl.BlockSpec((block_b, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, L, 5), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_b, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=14 * B * W * L, bytes_accessed=(2 * B * W + B * L * 5) * 4,
             transcendentals=0,
         ),
     )(
+        maxlens.astype(jnp.int32),
         s1c_arg,
         mask.astype(jnp.int32),
-        row_sm.astype(jnp.int32),
+        jnp.transpose(row_sm, (1, 0, 2)).astype(jnp.int32),
         lengths.reshape(B, 1).astype(jnp.int32),
     )
 

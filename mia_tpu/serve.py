@@ -1,0 +1,367 @@
+"""TPU-resident scoring server + client.
+
+The tunneled TPU backend costs every process ~10 s of backend init plus a
+3-30 s executable load before the first batch can score (measured;
+multi-tenant server queueing makes it a lottery).  The reference is an AOT C
+binary with zero startup; to beat it on SHORT workloads the device must
+already be warm.  This module keeps one resident process holding the
+initialized backend and the compiled scoring programs, and serves batches to
+short-lived CLI runs over a unix-domain socket — the standard serving-daemon
+architecture (cf. model servers), here sized down to one file.
+
+Protocol: length-prefixed pickles over a unix socket (local, same-uid;
+socket mode 0700 directory).  Ops:
+
+    hello    -> {platform, devices}
+    scorer   {fw, rc, len1, sms, batch}    -> {sid, ready}
+    ready    {sid}                         -> {ready}
+    dispatch {sid, ref_sel, starts, ivl, s2c, lengths, smidx} -> {hid}
+    hready   {hid}                         -> {ready}
+    collect  {hid}                         -> {best, aec}
+    free     {sid}                         -> {}
+
+The server wraps :class:`mia_tpu.core.jax_engine.Pass1Scorer`; scorers are
+cached by content hash so every iteration's consensus gets its own scorer
+while the underlying jitted program (shape-keyed) stays warm.  The client
+:class:`ServerScorer` mirrors the Pass1Scorer surface the assembler uses
+(dispatch_entries/collect_entries/dispatch_packed/collect_arrays/
+device_ready), so `run_assembly` treats both identically.
+
+Reference analogue: none — the reference (single-shot C binary,
+/root/reference/src/mia_main.c) has no serving mode; this is the TPU-native
+deployment shape for BASELINE's "reads/s per chip" serving target.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import socket
+import struct
+import threading
+
+import numpy as np
+
+DEFAULT_SOCK = os.path.join(
+    os.environ.get("XDG_RUNTIME_DIR", "/tmp"), f"mia-tpu-serve-{os.getuid()}.sock"
+)
+_MAGIC = b"MIA1"
+
+
+def sock_path() -> str:
+    return os.environ.get("MIA_TPU_SERVER_SOCK", DEFAULT_SOCK)
+
+
+def _send(conn: socket.socket, obj) -> None:
+    data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    conn.sendall(_MAGIC + struct.pack("<Q", len(data)) + data)
+
+
+def _recv(conn: socket.socket):
+    hdr = b""
+    while len(hdr) < 12:
+        chunk = conn.recv(12 - len(hdr))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        hdr += chunk
+    if hdr[:4] != _MAGIC:
+        raise ConnectionError("bad magic")
+    (n,) = struct.unpack("<Q", hdr[4:12])
+    buf = bytearray(n)
+    view = memoryview(buf)
+    got = 0
+    while got < n:
+        r = conn.recv_into(view[got:], n - got)
+        if not r:
+            raise ConnectionError("peer closed mid-message")
+        got += r
+    return pickle.loads(bytes(buf))
+
+
+# --------------------------------------------------------------------- server
+class Server:
+    """Single-process scoring server; one thread per client connection.
+
+    Scorer/handle tables are shared across connections (a client may
+    reconnect); dispatches run on the owning connection's thread — the jax
+    dispatch itself is asynchronous, so interleaved clients still pipeline
+    on the device.
+    """
+
+    def __init__(self, path: str | None = None, idle_timeout: float = 0.0):
+        self.path = path or sock_path()
+        self.idle_timeout = idle_timeout
+        self._scorers: dict[str, object] = {}
+        self._handles: dict[int, tuple] = {}
+        self._hid = 0
+        self._lock = threading.Lock()
+        self._last_activity = _now()
+
+    def serve_forever(self) -> None:
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass
+        srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        srv.bind(self.path)
+        os.chmod(self.path, 0o600)
+        srv.listen(16)
+        srv.settimeout(5.0)
+        # initialize the backend + warm nothing yet (scorers warm on demand)
+        import jax
+
+        n_dev = len(jax.devices())
+        print(f"mia-tpu-serve: ready on {self.path} ({n_dev} device(s))", flush=True)
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                if (
+                    self.idle_timeout
+                    and _now() - self._last_activity > self.idle_timeout
+                ):
+                    print("mia-tpu-serve: idle timeout, exiting", flush=True)
+                    return
+                continue
+            t = threading.Thread(target=self._client, args=(conn,), daemon=True)
+            t.start()
+
+    def _client(self, conn: socket.socket) -> None:
+        try:
+            while True:
+                req = _recv(conn)
+                self._last_activity = _now()
+                try:
+                    resp = ("ok", self._handle(req))
+                except Exception as e:  # report, keep serving
+                    import traceback
+
+                    resp = ("err", f"{type(e).__name__}: {e}\n"
+                            + traceback.format_exc(limit=5))
+                _send(conn, resp)
+        except (ConnectionError, OSError):
+            pass
+        finally:
+            conn.close()
+
+    def _handle(self, req):
+        op = req["op"]
+        if op == "hello":
+            import jax
+
+            d = jax.devices()
+            return {"platform": d[0].platform, "devices": len(d)}
+        if op == "scorer":
+            from .core.jax_engine import Pass1Scorer
+
+            key = hashlib.sha1(
+                req["fw"].tobytes()
+                + req["rc"].tobytes()
+                + req["sms"].tobytes()
+                + str((req["len1"], req["batch"])).encode()
+            ).hexdigest()
+            with self._lock:
+                sc = self._scorers.get(key)
+                if sc is None:
+                    sc = Pass1Scorer(
+                        req["fw"],
+                        req["rc"],
+                        req["len1"],
+                        req["sms"][0],
+                        req["sms"][1],
+                        batch=req["batch"],
+                        warm=True,
+                        defer=True,
+                    )
+                    self._scorers[key] = sc
+            return {"sid": key, "ready": sc.device_ready()}
+        if op == "ready":
+            sc = self._scorers[req["sid"]]
+            return {"ready": sc.device_ready()}
+        if op == "dispatch":
+            sc = self._scorers[req["sid"]]
+            h = sc.dispatch_entries(
+                req["ref_sel"], req["starts"], req["ivl"], req["s2c"],
+                req["lengths"], req["smidx"],
+            )
+            with self._lock:
+                self._hid += 1
+                hid = self._hid
+                self._handles[hid] = (sc, h)
+            return {"hid": hid}
+        if op == "hready":
+            sc, h = self._handles[req["hid"]]
+            return {"ready": type(sc).ready(h)}
+        if op == "collect":
+            with self._lock:
+                sc, h = self._handles.pop(req["hid"])
+            best, aec = sc.collect_entries(h)
+            return {"best": best, "aec": aec}
+        if op == "free":
+            return {}
+        raise ValueError(f"unknown op {op!r}")
+
+
+def _now() -> float:
+    import time
+
+    return time.time()
+
+
+# --------------------------------------------------------------------- client
+class ServerScorer:
+    """Client-side scorer with the Pass1Scorer batch surface, backed by the
+    resident server.  Construction never blocks on the device: the server
+    warms the scorer in its own thread and `device_ready` polls it — the
+    assembler's work-stealing logic applies unchanged."""
+
+    def __init__(
+        self,
+        fw_s1c,
+        rc_s1c,
+        len1: int,
+        submat,
+        submat_b=None,
+        batch: int | None = None,
+        path: str | None = None,
+        timeout: float = 5.0,
+    ):
+        from .core.jax_engine import default_batch
+
+        self.len1 = len1
+        self.batch = batch or default_batch()
+        self.E = 2 * self.batch
+        self._lock = threading.Lock()
+        self._ready = False
+        self._conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._conn.settimeout(timeout)
+        self._conn.connect(path or sock_path())
+        self._conn.settimeout(600.0)
+        sms = np.stack(
+            [
+                np.asarray(submat, np.int32),
+                np.asarray(submat_b if submat_b is not None else submat, np.int32),
+            ]
+        )
+        fw = np.asarray(fw_s1c[:len1], np.int8)
+        rc = np.asarray(rc_s1c[:len1], np.int8)
+        r = self._rpc(
+            {"op": "scorer", "fw": fw, "rc": rc, "len1": len1, "sms": sms,
+             "batch": self.batch}
+        )
+        self._sid = r["sid"]
+        self._ready = r["ready"]
+
+    def _rpc(self, req):
+        with self._lock:
+            _send(self._conn, req)
+            status, payload = _recv(self._conn)
+        if status != "ok":
+            raise RuntimeError(f"server error: {payload}")
+        return payload
+
+    # -- Pass1Scorer surface -------------------------------------------------
+    def device_ready(self) -> bool:
+        if self._ready:
+            return True
+        try:
+            self._ready = bool(self._rpc({"op": "ready", "sid": self._sid})["ready"])
+        except Exception:
+            return False
+        return self._ready
+
+    def failed(self) -> bool:
+        return False
+
+    def dispatch_entries(self, ref_sel, starts, ivl, s2c, lengths, smidx):
+        n = len(ref_sel)
+        if n == 0:
+            return ("srv", None, 0)
+        r = self._rpc(
+            {
+                "op": "dispatch",
+                "sid": self._sid,
+                "ref_sel": np.ascontiguousarray(ref_sel, np.int8),
+                "starts": np.ascontiguousarray(starts, np.int32),
+                "ivl": np.ascontiguousarray(ivl, np.int32),
+                "s2c": np.ascontiguousarray(s2c, np.int8),
+                "lengths": np.ascontiguousarray(lengths, np.int32),
+                "smidx": np.ascontiguousarray(smidx, np.int8),
+            }
+        )
+        return ("srv", self, r["hid"])
+
+    def collect_entries(self, handle):
+        _, owner, hid = handle[:3]
+        if owner is None:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        r = self._rpc({"op": "collect", "hid": hid})
+        return r["best"].astype(np.int64), r["aec"].astype(np.int64)
+
+    def dispatch_packed(self, s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags):
+        from .core.jax_engine import build_pass1_entries
+
+        n = len(lens)
+        if n == 0:
+            return ("srv", None, 0, None, None)
+        assert n <= self.batch
+        entries = build_pass1_entries(s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags)
+        handle = self.dispatch_entries(*entries)
+        return handle + (fw_ws.copy(), rc_ws.copy())
+
+    def collect_arrays(self, handle):
+        from .core.jax_engine import split_pass1_results
+
+        best, aec = self.collect_entries(handle[:3])
+        _, _, _, fw_ws, rc_ws = handle
+        return split_pass1_results(best, aec, fw_ws, rc_ws)
+
+    @staticmethod
+    def ready(handle) -> bool:
+        if handle[0] != "srv" or handle[1] is None:
+            return True
+        self, hid = handle[1], handle[2]
+        try:
+            return bool(self._rpc({"op": "hready", "hid": hid})["ready"])
+        except Exception:
+            return True
+
+    def close(self) -> None:
+        try:
+            self._conn.close()
+        except OSError:
+            pass
+
+
+def connect_scorer(*args, **kwargs) -> "ServerScorer | None":
+    """ServerScorer when a server is reachable, else None.
+
+    Policy via MIA_TPU_SERVER: "0" never; a path or unset = connect to the
+    (default) socket when present."""
+    policy = os.environ.get("MIA_TPU_SERVER", "")
+    if policy == "0":
+        return None
+    path = policy if policy not in ("", "auto", "spawn") else sock_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        return ServerScorer(*args, path=path, **kwargs)
+    except Exception:
+        return None
+
+
+def spawn_server(path: str | None = None, idle_timeout: float = 3600.0) -> None:
+    """Start a detached server process (for the NEXT run; returns at once)."""
+    import subprocess
+    import sys
+
+    path = path or sock_path()
+    if os.path.exists(path):
+        return
+    log = os.path.join(os.path.dirname(path) or "/tmp", "mia-tpu-serve.log")
+    with open(log, "ab") as lf:
+        subprocess.Popen(
+            [sys.executable, "-m", "mia_tpu.cli.serve", "--sock", path,
+             "--idle-timeout", str(idle_timeout)],
+            stdout=lf, stderr=lf, start_new_session=True,
+        )

@@ -37,9 +37,34 @@ def apply_platform_override() -> None:
         pass
 
 
+def _machine_tag() -> str:
+    """Stable fingerprint of this host's CPU feature set.  CPU-backend cache
+    entries embed AOT machine features; loading an entry compiled on a
+    different host generation triggers "could lead to SIGILL" warnings (and
+    risk), so the cache directory is keyed per machine."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    import hashlib
+
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return "generic"
+
+
 def setup_jax_cache() -> None:
     """Enable the client persistent compilation cache (idempotent; safe on
-    any backend).  Opt out with MIA_TPU_NO_CACHE=1."""
+    any backend).  Opt out with MIA_TPU_NO_CACHE=1.
+
+    This is the difference between a usable and an unusable device engine on
+    the tunneled TPU backend: the remote compile server re-compiles the SAME
+    HLO in 35-235 s run-to-run (measured; its own cache does not persist
+    across client processes), while a client-cache hit deserializes in
+    ~3-5 s.  The cache engagement is also forced explicitly because the
+    platform check in jax's compilation_cache is allowlist-based and the
+    tunneled backend's eligibility proved flaky in practice."""
     global _done
     if _done:
         return
@@ -47,7 +72,7 @@ def setup_jax_cache() -> None:
     if os.environ.get("MIA_TPU_NO_CACHE"):
         return
     cache_dir = os.environ.get("MIA_TPU_CACHE_DIR") or os.path.join(
-        os.path.expanduser("~"), ".cache", "mia-tpu", "xla"
+        os.path.expanduser("~"), ".cache", "mia-tpu", "xla", _machine_tag()
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)
@@ -56,5 +81,10 @@ def setup_jax_cache() -> None:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        from jax._src import compilation_cache as _cc
+
+        with _cc._cache_initialized_mutex:
+            _cc._cache_checked = True
+            _cc._cache_used = True
     except Exception:  # cache is an optimization; never fail the pipeline
         pass

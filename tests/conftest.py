@@ -20,6 +20,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# never let tests silently use a developer's running scoring server
+os.environ.setdefault("MIA_TPU_SERVER", "0")
+
 import pytest  # noqa: E402
 
 FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")

@@ -65,16 +65,31 @@ def test_pallas_kernel_matches_xla_interpret():
             sg5=True,
         )
     )
+    from jax.experimental.pallas import tpu as pltpu
+
     kernel = functools.partial(_dp_kernel, W=W, L=L, sg5=True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, W), lambda i, *_: (0, 0)),
+            pl.BlockSpec((B, W), lambda i, *_: (i, 0)),
+            pl.BlockSpec((L, B, 5), lambda i, *_: (0, i, 0)),
+            pl.BlockSpec((B, 1), lambda i, *_: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, W), lambda i, *_: (i, 0)),
+    )
     got = np.asarray(
         pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((B, W), jnp.int32),
+            grid_spec=grid_spec,
             interpret=True,
         )(
+            np.array([int(lengths.max())], np.int32),
             s1c.reshape(1, W),
             np.stack(masks).astype(np.int32),
-            row_sm.astype(np.int32),
+            row_sm.astype(np.int32).transpose(1, 0, 2),
             lengths.reshape(B, 1),
         )
     )

@@ -137,3 +137,46 @@ def test_mesh_scorer_matches_single_device():
     )
     np.testing.assert_array_equal(b1, b2)
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_mesh_scorer_after_warm_plain_scorer():
+    """Regression: dispatching a single-device program twice (warming jit's
+    C++ fastpath) and THEN dispatching a dp-mesh scorer used to crash inside
+    jax arg sharding (AssertionError (1, 3) / "supplied 8 buffers but
+    compiled program expected 9") — trace-time concrete constants were being
+    hoisted as executable parameters.  This is the exact ordering
+    bench._mesh_scaling runs."""
+    import jax
+    from jax.sharding import Mesh
+
+    import mia_tpu.core.jax_engine as je
+    from mia_tpu.ops.pssm import init_flatsubmat
+
+    rng = np.random.default_rng(11)
+    len1 = 700
+    fw = rng.integers(0, 4, len1).astype(np.int8)
+    sm = init_flatsubmat().astype(np.int32)
+
+    def mkargs(n):
+        ref_sel = rng.integers(0, 2, n).astype(np.int8)
+        smidx = np.zeros(n, np.int8)
+        lens = rng.integers(8, 60, n).astype(np.int32)
+        starts = rng.integers(0, len1 - je.WIN_W + 1, n).astype(np.int32)
+        ivl = np.zeros((n, je.MAX_INTERVALS, 2), np.int32)
+        ivl[:, 0, 0] = 2
+        ivl[:, 0, 1] = rng.integers(80, je.WIN_W, n)
+        s2c = rng.integers(0, 5, (n, je.L_MAX)).astype(np.int8)
+        return ref_sel, starts, ivl, s2c, lens, smidx
+
+    plain = je.Pass1Scorer(fw, fw, len1, sm, batch=32, warm=False)
+    args = mkargs(48)
+    for _ in range(2):  # second call engages the C++ fastpath
+        plain.collect_entries(plain.dispatch_entries(*args))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    sharded = je.Pass1Scorer(fw, fw, len1, sm, batch=32, mesh=mesh, warm=False)
+    for _ in range(2):
+        b2, a2 = sharded.collect_entries(sharded.dispatch_entries(*args))
+    b1, a1 = plain.collect_entries(plain.dispatch_entries(*args))
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(a1, a2)
