@@ -52,7 +52,25 @@ def _log(msg: str) -> None:
 
 
 def run_assembly(cfg: MiaConfig) -> MapAlignment:
-    """Run the full mia pipeline; returns the final culled MapAlignment."""
+    """Run the full mia pipeline; returns the final culled MapAlignment.
+
+    Multi-host (SPMD over read shards): when launched under
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, every host
+    runs this same function over its contiguous slice of the input stream;
+    repeat filtering and the dynamic score cutoff replay globally
+    (parallel.distributed.GlobalReadFilter), per-iteration consensus counts
+    and the shared max-insert array all-reduce, convergence is a global
+    vote, and host 0 writes the complete maln — byte-identical to a
+    single-process run (tests/test_distributed.py)."""
+    from ..parallel import distributed as dist
+
+    multi = dist.initialize_if_needed()
+    gf = dist.GlobalReadFilter() if multi else None
+    reduce_cc = dist.reduce_column_counts if multi else None
+    if multi and cfg.collapse:
+        raise RuntimeError("read collapsing (-C) is not supported multi-host")
+    if multi and cfg.make_fastq:
+        raise RuntimeError("-q fastq export is not supported multi-host")
     if cfg.submat_fn:
         ancsubmat = find_read_pssm(cfg.submat_fn)
     else:
@@ -487,7 +505,18 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 _drain_oldest_legacy()
 
     t_pass1 = time.time()
-    for frag_seq in iter_frag_seqs(cfg.frag_fn):
+    if multi:
+        # contiguous per-host slice of the stream; gids keep the global
+        # stream order observable for the global filter replay
+        all_records = list(iter_frag_seqs(cfg.frag_fn))
+        shard = dist.host_read_shard(len(all_records))
+        stream = all_records[shard.start : shard.start + shard.count]
+        gid0 = shard.start
+    else:
+        stream = iter_frag_seqs(cfg.frag_fn)
+        gid0 = 0
+    for frag_seq in stream:
+        frag_seq.gid = gid0 + seen
         seen += 1
         if good_ids is None or frag_seq.id in good_ids:
             if cfg.do_adapter_trimming:
@@ -573,23 +602,58 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     culled.ref = maln.ref
     culled.cons_code = maln.cons_code
     culled.distant_ref = maln.distant_ref
-    culled.size = maln.num_aln_seqs
-
-    _log("Repeat and score filtering")
-    if cfg.repeat_filt:
-        sort_fsdb(fsdb)
-        set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
-    if cfg.repeat_qual_filt:
-        sort_fsdb_qscore(fsdb)
-        set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
-
-    with profiling.phase("filters.cull"):
-        cull_maln_from_fsdb(
-            culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
+    if multi:
+        culled.size = int(
+            dist.allreduce_terms(np.array([maln.num_aln_seqs], np.int64))[0]
         )
-    culled.fpsm = ancsubmat
-    culled.rpsm = rcancsubmat
-    sort_aln_frags(culled)
+    else:
+        culled.size = maln.num_aln_seqs
+
+    record_keys: list = []  # multi-host: global-order keys of culled records
+
+    def _filter_and_cull() -> None:
+        """Repeat filters + score cull — globally replayed when multi-host
+        (the stub FSDB reproduces the single-process sort/uniq/fit history,
+        including float summation order)."""
+        _log("Repeat and score filtering")
+        if multi:
+            gf.refresh(fsdb)
+        if cfg.repeat_filt:
+            sort_fsdb(fsdb)
+            if multi:
+                gf.sort_and_uniq(False, cfg.just_outer_coords, cfg.tolerance, fsdb)
+            else:
+                set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
+        if cfg.repeat_qual_filt:
+            sort_fsdb_qscore(fsdb)
+            if multi:
+                gf.sort_and_uniq(True, cfg.just_outer_coords, cfg.tolerance, fsdb)
+            else:
+                set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
+        with profiling.phase("filters.cull"):
+            if multi and cfg.hard_cut <= 0 and not cfg.score_cut_set:
+                slope, intercept = gf.score_cut()
+                cull_maln_from_fsdb(culled, fsdb, cfg.hard_cut, True, slope, intercept)
+            else:
+                cull_maln_from_fsdb(
+                    culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope,
+                    cfg.intercept,
+                )
+        if multi:
+            record_keys[:] = dist.culled_record_keys(fsdb, gf.sort_pos())
+            dist.allreduce_max(maln.ref.gaps)
+        culled.fpsm = ancsubmat
+        culled.rpsm = rcancsubmat
+        sort_aln_frags(culled)
+
+    def _write_maln(fn: str) -> None:
+        with profiling.phase("io.write_maln"):
+            if multi:
+                dist.write_ma_global(fn, culled, record_keys, culled.size)
+            else:
+                write_ma(fn, culled)
+
+    _filter_and_cull()
 
     fw_align.submat = ancsubmat
     fw_align.sg5 = True
@@ -608,33 +672,25 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             rcancsubmat, engine=cfg.engine, mesh=mesh,
         )
     pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
-    _log("Repeat and score filtering")
-    if cfg.repeat_filt:
-        sort_fsdb(fsdb)
-        set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
-    if cfg.repeat_qual_filt:
-        sort_fsdb_qscore(fsdb)
-        set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
-    with profiling.phase("filters.cull"):
-        cull_maln_from_fsdb(
-            culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
-        )
-    culled.fpsm = ancsubmat
-    culled.rpsm = rcancsubmat
-    sort_aln_frags(culled)
+    _filter_and_cull()
     maln_fn = f"{cfg.maln_root}.{iter_num}"
     if not cfg.iterate or not cfg.final_only:
-        with profiling.phase("io.write_maln"):
-            write_ma(maln_fn, culled)
+        _write_maln(maln_fn)
         if cfg.make_fastq:
             write_fastq(cfg.fastq_out_fn, fsdb)
 
     if cfg.iterate:
         _log("Generating new assembly consensus")
         with profiling.phase("consensus"):
-            assembly_cons = consensus_assembly_string(culled)
+            assembly_cons = consensus_assembly_string(culled, reduce_cc=reduce_cc)
 
-        while assembly_cons != last_assembly_cons and iter_num < MAX_ITER:
+        def _unconverged() -> bool:
+            eq = assembly_cons == last_assembly_cons
+            if multi:
+                return not dist.converged_everywhere(eq)
+            return not eq
+
+        while _unconverged() and iter_num < MAX_ITER:
             iter_num += 1
             last_assembly_cons = assembly_cons
             _log(f"Starting assembly iteration {iter_num}")
@@ -650,27 +706,13 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 )
             with profiling.phase("filters.pop_smp"):
                 pop_smp_from_FSDB(fsdb, PSSM_DEPTH)
-            _log("Repeat and score filtering")
-            if cfg.repeat_filt:
-                sort_fsdb(fsdb)
-                set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
-            if cfg.repeat_qual_filt:
-                sort_fsdb_qscore(fsdb)
-                set_uniq_in_fsdb(fsdb, cfg.just_outer_coords, cfg.tolerance)
-            with profiling.phase("filters.cull"):
-                cull_maln_from_fsdb(
-                    culled, fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
-                )
-            culled.fpsm = ancsubmat
-            culled.rpsm = rcancsubmat
-            sort_aln_frags(culled)
+            _filter_and_cull()
             maln_fn = f"{cfg.maln_root}.{iter_num}"
             if not cfg.final_only:
                 _log(f"Writing maln file for iteration {iter_num}")
-                with profiling.phase("io.write_maln"):
-                    write_ma(maln_fn, culled)
+                _write_maln(maln_fn)
             with profiling.phase("consensus"):
-                assembly_cons = consensus_assembly_string(culled)
+                assembly_cons = consensus_assembly_string(culled, reduce_cc=reduce_cc)
 
         if assembly_cons == last_assembly_cons:
             _log("Assembly convergence - writing final maln")
@@ -678,8 +720,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             _log(f"Assembly did not converge after {iter_num} rounds, quitting")
         maln_fn = f"{cfg.maln_root}.{iter_num}"
         if cfg.final_only:
-            with profiling.phase("io.write_maln"):
-                write_ma(maln_fn, culled)
+            _write_maln(maln_fn)
         if cfg.make_fastq:
             write_fastq(cfg.fastq_out_fn, fsdb)
 

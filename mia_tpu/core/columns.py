@@ -55,7 +55,7 @@ def main_column_counts(maln: MapAlignment, exclude_dropped: bool) -> ColumnCount
     return cc
 
 
-def find_ins_cons(maln: MapAlignment, pos: int):
+def find_ins_cons(maln: MapAlignment, pos: int, reduce_cc=None):
     """Consensus of the insertion columns immediately upstream of ``pos``
     (find_ins_cons, src/map_align.c:444-510).  Includes dropped reads, as the
     reference does.  Returns (chars uint8 [L], ColumnCounts, frac [L])."""
@@ -86,22 +86,31 @@ def find_ins_cons(maln: MapAlignment, pos: int):
             maln.fpsm,
             maln.rpsm,
         )
+    if reduce_cc is not None:
+        cc = reduce_cc(cc)
     chars, frac = find_consensus_cols(cc, maln.cons_code)
     return chars, cc, frac
 
 
-def consensus_assembly_string(maln: MapAlignment) -> str:
+def consensus_assembly_string(maln: MapAlignment, reduce_cc=None) -> str:
     """Next-iteration reference from the culled maln
     (consensus_assembly_string, src/mia.c:508-603): gap/space calls are
     dropped; dropped reads are excluded from main columns but not from
-    insertion columns."""
+    insertion columns.
+
+    ``reduce_cc`` (multi-host): called on every ColumnCounts accumulator
+    before the consensus decision — the production all-reduce of the
+    reference's BaseCounts (src/map_align.c:229-263); counts are integer so
+    the merged decision is exact on every host."""
     cc = main_column_counts(maln, exclude_dropped=True)
+    if reduce_cc is not None:
+        cc = reduce_cc(cc)
     cons_chars, _ = find_consensus_cols(cc, maln.cons_code)
     out: list[str] = []
     gaps = maln.ref.gaps
     for pos in range(maln.ref.seq_len):
         if gaps[pos] > 0 and pos > 0:
-            ins_chars, _, _ = find_ins_cons(maln, pos)
+            ins_chars, _, _ = find_ins_cons(maln, pos, reduce_cc=reduce_cc)
             for ch in ins_chars:
                 if ch not in (ord("-"), ord(" ")):
                     out.append(chr(ch))

@@ -389,7 +389,10 @@ def reiterate_assembly(
                 from ..utils.encoding import encode_seq
                 from .jax_engine import Pass1Scorer, WIN_W, L_MAX
 
+                steal = os.environ.get("MIA_TPU_STEAL", "1") != "0"
                 try:
+                    from . import jax_engine as je
+
                     enc = encode_seq(ref.seq[: ref.wrap_seq_len])
                     if mesh is None:
                         from ..serve import connect_scorer
@@ -399,11 +402,17 @@ def reiterate_assembly(
                         )
                         if (
                             scorer is not None
-                            and os.environ.get("MIA_TPU_STEAL", "1") != "0"
+                            and steal
                             and not scorer.device_ready()
                         ):
                             scorer = None  # cold server: realign natively
-                    if scorer is None:
+                    # local device only when its program is already warm
+                    # in-process (pass 1 compiled and ran it) — a cold
+                    # compile would stall the whole iteration, and the
+                    # native window solver is fast.  Checked BEFORE
+                    # construction so no extra init thread is ever spawned
+                    # (MIA_TPU_STEAL=0 forces the device path regardless).
+                    if scorer is None and (not steal or je.any_program_warm()):
                         scorer = Pass1Scorer(
                             enc,
                             enc,
@@ -412,20 +421,7 @@ def reiterate_assembly(
                             rcancsubmat,
                             mesh=mesh,
                             warm=False,
-                            defer=True,
                         )
-                        # use the device only when its program is already
-                        # compiled/loaded in-process (pass 1 warmed it); a
-                        # cold compile would stall the whole iteration, and
-                        # the native window solver is fast — same
-                        # work-stealing policy as pass 1 (MIA_TPU_STEAL=0
-                        # forces the wait)
-                        if os.environ.get("MIA_TPU_STEAL", "1") != "0":
-                            scorer._dev_ready.wait(timeout=2.0)
-                            if not scorer.device_ready():
-                                scorer = None
-                        else:
-                            scorer._wait_ready()
                 except Exception:
                     scorer = None  # no usable device: all-native realign
             for fs in fsdb.fss:

@@ -88,6 +88,14 @@ def background_work_pending() -> bool:
     return any(t.is_alive() for t in _INIT_THREADS)
 
 
+def any_program_warm() -> bool:
+    """True once any entry-scoring program completed a dispatch+collect in
+    this process — reiterate uses this to decide whether building a device
+    scorer can possibly pay off without stalling (and without spawning
+    another init thread)."""
+    return bool(_RUN_PROGRAMS)
+
+
 @dataclass
 class StrandScore:
     best: int

@@ -36,6 +36,9 @@ class FragSeq:
     # quality pileup for read collapsing: [4, len] uint32 (A,C,G,T rows),
     # lazily created (src/types.h:101-107)
     qss: Optional[np.ndarray] = None
+    # global stream index for multi-host runs (parallel/distributed.py);
+    # -1 in single-process mode
+    gid: int = -1
 
 
 @dataclass

@@ -28,14 +28,20 @@ def _format_pssm(sm: np.ndarray) -> str:
     return "\n".join(out)
 
 
-def write_ma(path: str, maln: MapAlignment, *, timestamp: float | None = None) -> None:
-    """Serialize ``maln`` exactly as the reference's write_ma
-    (src/map_alignment.c:283-382)."""
+def header_lines(
+    maln: MapAlignment,
+    *,
+    timestamp: float | None = None,
+    nas: int | None = None,
+    siz: int | None = None,
+) -> list[str]:
+    """Everything before the record blocks (src/map_alignment.c:283-336);
+    ``nas``/``siz`` override the local counts for the multi-host writer."""
     t = time.localtime(timestamp if timestamp is not None else time.time())
     lines: list[str] = []
     lines.append(f"/* map_alignment [V{PACKAGE_VERSION}] */ {time.asctime(t)}")
-    lines.append(f"MALN_NAS {maln.num_aln_seqs}")
-    lines.append(f"MALN_SIZ {maln.size}")
+    lines.append(f"MALN_NAS {maln.num_aln_seqs if nas is None else nas}")
+    lines.append(f"MALN_SIZ {maln.size if siz is None else siz}")
     lines.append(f"MALN_COC {maln.cons_code}")
     lines.append("__REFERENCE__")
     lines.append(f"ID {maln.ref.id}")
@@ -52,27 +58,44 @@ def write_ma(path: str, maln: MapAlignment, *, timestamp: float | None = None) -
     lines.append("RPSM:")
     lines.append(_format_pssm(maln.rpsm))
     lines.append("__ALNSEQS__")
+    return lines
+
+
+def write_ma(path: str, maln: MapAlignment, *, timestamp: float | None = None) -> None:
+    """Serialize ``maln`` exactly as the reference's write_ma
+    (src/map_alignment.c:283-382)."""
+    lines = header_lines(maln, timestamp=timestamp)
     for a in maln.aln_seqs:
-        lines.append(f"ID {a.id}")
-        lines.append(f"DESC {a.desc}")
-        lines.append(f"SCORE {a.score}")
-        lines.append(f"NUM_INPUTS {a.num_inputs}")
-        lines.append(f"START {a.start}")
-        lines.append(f"END {a.end}")
-        lines.append(f"RC {1 if a.revcom else 0}")
-        lines.append(f"TR {1 if a.trimmed else 0}")
-        lines.append(f"DR {1 if a.dropped else 0}")
-        lines.append(f"SEG {a.segment}")
-        lines.append(f"SEQ {a.seq}")
-        lines.append(f"SMP {a.smp}")
-        ins_parts = []
-        for j in range(len(a.seq)):
-            s = a.ins.get(j)
-            if s is not None:
-                ins_parts.append(f" {j} {s}")
-        lines.append("INS_POS" + "".join(ins_parts))
+        lines.extend(alnseq_lines(a))
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+
+
+def alnseq_lines(a) -> list[str]:
+    """The record block write_ma emits for one AlnSeq
+    (src/map_alignment.c:338-378); shared with the multi-host global
+    writer."""
+    lines = [
+        f"ID {a.id}",
+        f"DESC {a.desc}",
+        f"SCORE {a.score}",
+        f"NUM_INPUTS {a.num_inputs}",
+        f"START {a.start}",
+        f"END {a.end}",
+        f"RC {1 if a.revcom else 0}",
+        f"TR {1 if a.trimmed else 0}",
+        f"DR {1 if a.dropped else 0}",
+        f"SEG {a.segment}",
+        f"SEQ {a.seq}",
+        f"SMP {a.smp}",
+    ]
+    ins_parts = []
+    for j in range(len(a.seq)):
+        s = a.ins.get(j)
+        if s is not None:
+            ins_parts.append(f" {j} {s}")
+    lines.append("INS_POS" + "".join(ins_parts))
+    return lines
 
 
 def read_ma(path: str) -> MapAlignment:

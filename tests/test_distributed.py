@@ -105,3 +105,75 @@ def test_two_process_consensus_psum(tmp_path):
     for i in range(2):
         got = np.frombuffer((tmp_path / f"cons.{i}").read_bytes(), np.uint8)
         assert np.array_equal(got, expect), f"process {i} consensus differs"
+
+
+def test_two_process_assembly_byte_identical(tmp_path):
+    """END-TO-END: a 2-process sharded assembly must write the SAME maln
+    bytes (host 0) as a single-process run — global repeat filters, global
+    score-cut fit, all-reduced consensus, global convergence vote and the
+    merged maln writer all engaged (BASELINE config 5's flow at fixture
+    scale)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fixtures = os.path.join(repo, "tests", "fixtures")
+
+    def run(workdir, extra_env):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env["MIA_JAX_PLATFORM"] = "cpu"
+        env["MIA_TPU_SERVER"] = "0"
+        env.pop("XLA_FLAGS", None)
+        env.update(extra_env)
+        return subprocess.Popen(
+            [
+                sys.executable, "-m", "mia_tpu.cli.mia",
+                "-r", os.path.join(fixtures, "tr1.fna"),
+                "-f", os.path.join(fixtures, "tf.fna"),
+                "-c", "-k", "12",
+                "-m", os.path.join(workdir, "out.maln"),
+                "--engine", "native",
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+
+    single_dir = tmp_path / "single"
+    single_dir.mkdir()
+    p = run(str(single_dir), {})
+    _, se = p.communicate(timeout=300)
+    assert p.returncode == 0, se.decode()[-2000:]
+
+    port = _free_port()
+    dirs = []
+    procs = []
+    for i in range(2):
+        d = tmp_path / f"host{i}"
+        d.mkdir()
+        dirs.append(d)
+        procs.append(
+            run(
+                str(d),
+                {
+                    "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+                    "JAX_NUM_PROCESSES": "2",
+                    "JAX_PROCESS_ID": str(i),
+                },
+            )
+        )
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (_, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-3000:]
+
+    def norm(d):
+        files = {}
+        for fn in sorted(os.listdir(d)):
+            with open(os.path.join(d, fn), "rb") as fh:
+                files[fn] = b"\n".join(fh.read().split(b"\n")[1:])
+        return files
+
+    want = norm(single_dir)
+    got = norm(dirs[0])
+    assert sorted(got) == sorted(want)
+    for fn in want:
+        assert got[fn] == want[fn], f"{fn} differs between 2-proc and 1-proc"
+    assert norm(dirs[1]) == {}, "only host 0 writes the maln"

@@ -29,16 +29,28 @@ CONFIGS = {
 }
 
 
-def _run_mia(args, workdir):
+def _run_mia(args, workdir, engine=None):
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    extra = []
+    if engine is not None:
+        extra = ["--engine", engine]
+        if engine == "jax":
+            # force the device program (CPU backend here): without this the
+            # work-stealing would route every batch to the native engine
+            # and the device path would go untested
+            env["MIA_TPU_STEAL"] = "0"
+            env["MIA_SCORE_BATCH"] = "64"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MIA_JAX_PLATFORM"] = "cpu"
     subprocess.run(
-        [sys.executable, "-m", "mia_tpu.cli.mia", *args, "-m", "out.maln"],
+        [sys.executable, "-m", "mia_tpu.cli.mia", *args, "-m", "out.maln", *extra],
         cwd=workdir,
         env=env,
         check=True,
         capture_output=True,
+        timeout=900,
     )
 
 
@@ -48,16 +60,22 @@ def _norm(path):
     return b"\n".join(lines[1:])  # drop the asctime header line
 
 
+@pytest.mark.parametrize("engine", ["native", "jax", "numpy"])
 @pytest.mark.parametrize("name", sorted(CONFIGS))
-def test_maln_byte_identical(name, tmp_path):
+def test_maln_byte_identical(name, engine, tmp_path):
+    """Every golden config, byte-checked on every engine (the jax engine
+    runs its real batched device program on the CPU backend here; the
+    on-hardware gate is tests/test_tpu_parity.py)."""
     golden = os.path.join(GOLDEN, name)
     if not os.path.isdir(golden):
         pytest.skip(f"no golden outputs for {name}")
+    if engine == "numpy" and name == "sim200":
+        pytest.skip("per-read exact path is minutes-slow on sim200")
     args = [
         os.path.join(FIXTURES, a) if a.endswith((".fna", ".fastq")) else a
         for a in CONFIGS[name]
     ]
-    _run_mia(args, tmp_path)
+    _run_mia(args, tmp_path, engine=engine)
     produced = sorted(p for p in os.listdir(tmp_path) if p.startswith("out.maln."))
     expected = sorted(os.listdir(golden))
     assert produced == expected, f"iteration files differ: {produced} vs {expected}"
