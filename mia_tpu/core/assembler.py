@@ -179,7 +179,10 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             hp=cfg.hp_special,
         )
         if bhost is None:
-            use_native = False  # no native lib: exact per-read path
+            # no native lib (and the auto-build failed): the exact per-read
+            # numpy path serves both engines
+            use_native = False
+            use_jax = False
     mesh = None
     if use_jax:
         from .jax_engine import Pass1Scorer, make_dp_mesh
@@ -452,46 +455,28 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 maln, f, fsdb, bool(m[1]), int(m[2]), int(m[3]), int(m[4]), pw
             )
 
-    def _drain_oldest_legacy() -> None:
-        records, handle = inflight.pop(0)
-        results = scorer.collect(handle)
-        for (f, fm, rm), res in zip(records, results):
-            fw_align.align_mask[: fw_align.len1] = fm
-            rc_align.align_mask[: rc_align.len1] = rm
-            sg_align(maln, f, fsdb, fw_align, rc_align, precomputed=res)
-
     def flush_pending(final: bool = False) -> None:
-        from .jax_engine import L_MAX, MAX_INTERVALS, Pass1Scorer
+        from .jax_engine import L_MAX, MAX_INTERVALS
 
         if pending:
             records = pending[:]
             pending.clear()
-            if bhost is not None:
-                reads = [
-                    (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
-                    for f in records
-                ]
-                with profiling.phase("pass1.pack_prepare"):
-                    arena, off, lens = bhost.pack_reads(reads)
-                    s2c, fw_ws, rc_ws, fw_ivg, rc_ivg, flags = bhost.prepare(
-                        arena, off, lens, L_MAX, MAX_INTERVALS
-                    )
-                with profiling.phase("pass1.dispatch"):
-                    handle = scorer.dispatch_packed(
-                        s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags
-                    )
-                inflight.append(
-                    (records, handle, (arena, off[:-1], lens, fw_ivg, rc_ivg, flags))
+            reads = [
+                (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
+                for f in records
+            ]
+            with profiling.phase("pass1.pack_prepare"):
+                arena, off, lens = bhost.pack_reads(reads)
+                s2c, fw_ws, rc_ws, fw_ivg, rc_ivg, flags = bhost.prepare(
+                    arena, off, lens, L_MAX, MAX_INTERVALS
                 )
-            else:
-                reads = [
-                    (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
-                    for f, _, _ in records
-                ]
-                handle = scorer.dispatch(
-                    reads, [m for _, m, _ in records], [m for _, _, m in records]
+            with profiling.phase("pass1.dispatch"):
+                handle = scorer.dispatch_packed(
+                    s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags
                 )
-                inflight.append((records, handle))
+            inflight.append(
+                (records, handle, (arena, off[:-1], lens, fw_ivg, rc_ivg, flags))
+            )
         # drain in read order: everything whose result already landed, plus
         # enough to respect the inflight cap (bounds host-side batch buffers)
         while inflight and (
@@ -499,10 +484,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             or len(inflight) > MAX_INFLIGHT
             or type(scorer).ready(inflight[0][1])
         ):
-            if bhost is not None:
-                _drain_oldest_native()
-            else:
-                _drain_oldest_legacy()
+            _drain_oldest_native()
 
     t_pass1 = time.time()
     if multi:
@@ -527,7 +509,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 pending.append(frag_seq)
                 if len(pending) >= NATIVE_BATCH:
                     _flush_native()
-            elif bhost is not None:
+            elif use_jax:
                 # batched device path: the native engine applies the k-mer
                 # filter, the TPU scores, the native engine tracebacks.
                 # Until the device program is compiled/loaded, full batches
@@ -557,18 +539,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                     fw_align.len1,
                     rc_align.len1,
                 ):
-                    if use_jax:
-                        pending.append(
-                            (
-                                frag_seq,
-                                fw_align.align_mask[: fw_align.len1].copy(),
-                                rc_align.align_mask[: rc_align.len1].copy(),
-                            )
-                        )
-                        if len(pending) >= scorer.batch:
-                            flush_pending()
-                    else:
-                        sg_align(maln, frag_seq, fsdb, fw_align, rc_align)
+                    sg_align(maln, frag_seq, fsdb, fw_align, rc_align)
         if seen % 1000 == 0:
             sys.stderr.write(".")
         if seen % 80000 == 0:
@@ -576,13 +547,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     if use_native:
         _flush_native()
     elif use_jax:
-        if (
-            bhost is not None
-            and pending
-            and steal
-            and not device_on
-            and not scorer.device_ready()
-        ):
+        if pending and steal and not device_on and not scorer.device_ready():
             profiling.count("pass1.batches_stolen_native")
             _flush_native()
         flush_pending(final=True)

@@ -23,35 +23,50 @@ def main_column_counts(maln: MapAlignment, exclude_dropped: bool) -> ColumnCount
     """
     n = maln.ref.seq_len
     cc = ColumnCounts(n)
-    cols_l, chars_l, depths_l, strands_l = [], [], [], []
-    for a in maln.aln_seqs:
-        if exclude_dropped and a.dropped:
-            continue
-        span = a.end - a.start + 1
-        span = min(span, len(a.seq), len(a.smp))
-        if span <= 0:
-            continue
-        cols = a.start + np.arange(span, dtype=np.int64)
-        ok = (cols >= 0) & (cols < n)
-        if not ok.any():
-            continue
-        cols = cols[ok]
-        off = np.flatnonzero(ok)
-        seqb = np.frombuffer(a.seq.encode("latin-1"), dtype=np.uint8)[off]
-        smpb = np.frombuffer(a.smp.encode("latin-1"), dtype=np.uint8)[off]
-        cols_l.append(cols)
-        chars_l.append(seqb)
-        depths_l.append(smpb.astype(np.int64) - ord("A"))
-        strands_l.append(np.full(len(cols), bool(a.revcom)))
-    if cols_l:
-        cc.add_bases(
-            np.concatenate(cols_l),
-            np.concatenate(chars_l),
-            np.concatenate(depths_l),
-            np.concatenate(strands_l),
-            maln.fpsm,
-            maln.rpsm,
-        )
+    # one arena pass instead of a per-read python loop: the accumulation is
+    # O(total aligned bases) flat numpy (the reference rescans every read per
+    # column, O(ref_len * reads), src/mia.c:551-599)
+    recs = [
+        a
+        for a in maln.aln_seqs
+        if not (exclude_dropped and a.dropped)
+        and min(a.end - a.start + 1, len(a.seq), len(a.smp)) > 0
+    ]
+    if not recs:
+        return cc
+    spans = np.fromiter(
+        (min(a.end - a.start + 1, len(a.seq), len(a.smp)) for a in recs),
+        np.int64,
+        len(recs),
+    )
+    starts = np.fromiter((a.start for a in recs), np.int64, len(recs))
+    revs = np.fromiter((a.revcom for a in recs), bool, len(recs))
+    seq_arena = np.frombuffer(
+        "".join(a.seq for a in recs).encode("latin-1"), np.uint8
+    )
+    smp_arena = np.frombuffer(
+        "".join(a.smp for a in recs).encode("latin-1"), np.uint8
+    )
+    seq_lens = np.fromiter((len(a.seq) for a in recs), np.int64, len(recs))
+    smp_lens = np.fromiter((len(a.smp) for a in recs), np.int64, len(recs))
+    seq_off = np.concatenate(([0], np.cumsum(seq_lens)[:-1]))
+    smp_off = np.concatenate(([0], np.cumsum(smp_lens)[:-1]))
+
+    total = int(spans.sum())
+    ridx = np.repeat(np.arange(len(recs)), spans)
+    span_off = np.concatenate(([0], np.cumsum(spans)[:-1]))
+    within = np.arange(total, dtype=np.int64) - span_off[ridx]
+    cols = starts[ridx] + within
+    ok = (cols >= 0) & (cols < n)
+    ridx, within, cols = ridx[ok], within[ok], cols[ok]
+    cc.add_bases(
+        cols,
+        seq_arena[seq_off[ridx] + within],
+        smp_arena[smp_off[ridx] + within].astype(np.int64) - ord("A"),
+        revs[ridx],
+        maln.fpsm,
+        maln.rpsm,
+    )
     return cc
 
 

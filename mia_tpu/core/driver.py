@@ -348,189 +348,242 @@ def reiterate_assembly(
         pw = a.pw if a.pw is not None else populate_pwaln_to_begin(a)
         _merge_front(fs, a.best_score, a.abc + ref_start, a.aec + ref_start, pw)
 
+    from ..utils import profiling
+
     # batched native realignment: one threaded FFI call per chunk does the
     # window DP + traceback for every strand-known read; the merge
     # bookkeeping below then runs in FSDB order as before
     native_results: dict[int, tuple] = {}
     reprobed = False
-    if True:
-        from .hostbatch import STATUS_OK, BatchHost
+    from .hostbatch import STATUS_OK, BatchHost
 
-        bh = BatchHost.create(
-            ref.seq[: ref.wrap_seq_len],
-            ref.seq[: ref.wrap_seq_len],
-            ref.wrap_seq_len,
-            ancsubmat,
-            rcancsubmat,
-            -1,
-            False,
-            0,
-            0,
-            upper=False,
-            hp=a.hp,
-        )
-        if bh is not None:
-            # re-probes first: they can set strand_known (and flip fs.seq)
-            if maln.distant_ref and iter_num > 1:
-                for fs in fsdb.fss:
-                    if not fs.strand_known:
-                        _reprobe(fs)
-                reprobed = True
-            # window sizes are known up front: group reads by whether their
-            # window fits the device scorer, then by whether their traceback
-            # fits the default arena; solve each group batched
-            narrow: list = []
-            wide: list = []
-            device: list = []
-            scorer = None
-            if engine == "jax" and not a.hp:
-                import os
-
-                from ..utils.encoding import encode_seq
-                from .jax_engine import Pass1Scorer, WIN_W, L_MAX
-
-                steal = os.environ.get("MIA_TPU_STEAL", "1") != "0"
-                try:
-                    from . import jax_engine as je
-
-                    enc = encode_seq(ref.seq[: ref.wrap_seq_len])
-                    if mesh is None:
-                        from ..serve import connect_scorer
-
-                        scorer = connect_scorer(
-                            enc, enc, ref.wrap_seq_len, ancsubmat, rcancsubmat
-                        )
-                        if (
-                            scorer is not None
-                            and steal
-                            and not scorer.device_ready()
-                        ):
-                            scorer = None  # cold server: realign natively
-                    # local device only when its program is already warm
-                    # in-process (pass 1 compiled and ran it) — a cold
-                    # compile would stall the whole iteration, and the
-                    # native window solver is fast.  Checked BEFORE
-                    # construction so no extra init thread is ever spawned
-                    # (MIA_TPU_STEAL=0 forces the device path regardless).
-                    if scorer is None and (not steal or je.any_program_warm()):
-                        scorer = Pass1Scorer(
-                            enc,
-                            enc,
-                            ref.wrap_seq_len,
-                            ancsubmat,
-                            rcancsubmat,
-                            mesh=mesh,
-                            warm=False,
-                        )
-                except Exception:
-                    scorer = None  # no usable device: all-native realign
-            for fs in fsdb.fss:
-                if not fs.strand_known:
-                    continue
-                len2 = len(fs.seq)
-                lo, hi = _window(fs, len2)
-                job = (fs, lo, hi)
-                if (hi - lo) + len2 + 2 > bh.TRACE_CAP:
-                    wide.append(job)
-                elif (
-                    scorer is not None
-                    and hi - max(lo - 2, 0) <= WIN_W
-                    and len2 <= L_MAX
-                ):
-                    device.append(job)
-                else:
-                    narrow.append(job)
-            # device-sized windows: dispatch ALL chunks asynchronously, then
-            # run the native groups (the TPU scores while the host solves)
-            dev_handles: list = []
-            if device:
-                from .jax_engine import MAX_INTERVALS, pack_s2c
-
-                E = scorer.E
-                for c0 in range(0, len(device), E):
-                    chunk = device[c0 : c0 + E]
+    bh = BatchHost.create(
+        ref.seq[: ref.wrap_seq_len],
+        ref.seq[: ref.wrap_seq_len],
+        ref.wrap_seq_len,
+        ancsubmat,
+        rcancsubmat,
+        -1,
+        False,
+        0,
+        0,
+        upper=False,
+        hp=a.hp,
+    )
+    if bh is not None:
+        # re-probes first: they can set strand_known (and flip fs.seq).
+        # Both strands of every unknown read go through the threaded native
+        # full-width window solver in chunks (the per-read python probe is
+        # quadratic pain at distant-ref scale, src/mia_main.c:120-174)
+        if maln.distant_ref and iter_num > 1:
+            todo = [fs for fs in fsdb.fss if not fs.strand_known]
+            if todo:
+                probe_reads: list[str] = []
+                for fs in todo:
+                    probe_reads.append(fs.seq)
+                    probe_reads.append(revcom(fs.seq))
+                cap = bh.wide_cap
+                chunk_n = max(1, (8192 * bh.TRACE_CAP) // max(cap, 1))
+                results: list[tuple[int, int, int, int]] = []
+                for c0 in range(0, len(probe_reads), chunk_n):
+                    chunk = probe_reads[c0 : c0 + chunk_n]
+                    arena, off, lens = bh.pack_reads(chunk)
                     m = len(chunk)
-                    arena, off, lens = bh.pack_reads([fs.seq for fs, _, _ in chunk])
-                    los = np.fromiter((lo for _, lo, _ in chunk), np.int32, m)
-                    his = np.fromiter((hi for _, _, hi in chunk), np.int32, m)
-                    ws = np.maximum(los - 2, 0)
-                    # K must match the pass-1 shape exactly or the program
-                    # recompiles (shape-keyed jit cache)
-                    ivl = np.zeros((m, MAX_INTERVALS, 2), np.int32)
-                    ivl[:, 0, 0] = los - ws
-                    ivl[:, 0, 1] = his - ws
                     smidx = np.fromiter(
-                        (1 if fs.rc else 0 for fs, _, _ in chunk), np.int8, m
+                        ((c0 + j) % 2 for j in range(m)), np.uint8, m
                     )
-                    s2c = pack_s2c(arena, off[:-1], lens)
-                    handle = scorer.dispatch_entries(
-                        np.zeros(m, np.int8), ws, ivl, s2c, lens, smidx
-                    )
-                    dev_handles.append(
-                        (chunk, handle, arena, off, lens, ws, los, his, smidx)
-                    )
-            CHUNK = 8192
-            # bound per-chunk output-arena allocation (2 arenas of n*cap
-            # bytes): the wide group's cap is the full reference width, so
-            # scale its chunk size down to ~TARGET_ARENA bytes per arena
-            TARGET_ARENA = CHUNK * bh.TRACE_CAP
-            for jobs, cap in ((narrow, bh.TRACE_CAP), (wide, bh.wide_cap)):
-                chunk_n = max(1, min(CHUNK, TARGET_ARENA // max(cap, 1)))
-                for c0 in range(0, len(jobs), chunk_n):
-                    chunk = jobs[c0 : c0 + chunk_n]
-                    arena, off, lens = bh.pack_reads([fs.seq for fs, _, _ in chunk])
-                    wlo = np.fromiter((lo for _, lo, _ in chunk), np.int32, len(chunk))
-                    whi = np.fromiter((hi for _, _, hi in chunk), np.int32, len(chunk))
-                    smidx = np.fromiter(
-                        (1 if fs.rc else 0 for fs, _, _ in chunk), np.uint8, len(chunk)
-                    )
-                    meta, ref_a, frag_a = bh.solve_rei(
+                    wlo = np.zeros(m, np.int32)
+                    whi = np.full(m, ref.wrap_seq_len, np.int32)
+                    meta, _, _ = bh.solve_rei(
                         arena, off[:-1], lens, smidx, wlo, whi, cap=cap
                     )
-                    for j, (fs, _, _) in enumerate(chunk):
-                        if meta[j, 0] != STATUS_OK:
-                            continue  # falls back to the per-read path below
-                        n = int(meta[j, 4])
-                        native_results[id(fs)] = (
-                            int(meta[j, 1]),
-                            int(meta[j, 2]),
-                            int(meta[j, 3]),
-                            ref_a[j * cap : j * cap + n],
-                            frag_a[j * cap : j * cap + n],
+                    for j in range(m):
+                        results.append(
+                            (int(meta[j, 0]), int(meta[j, 1]), int(meta[j, 2]),
+                             int(meta[j, 3]))
                         )
-            # drain the device chunks: verified margin-window traceback on
-            # the native threads (mia_p1_finish), results in global coords
-            for chunk, handle, arena, off, lens, ws, los, his, smidx in dev_handles:
-                best, aecl = scorer.collect_entries(handle)
-                aec = (aecl + ws).astype(np.int32)
+                for t, fs in enumerate(todo):
+                    st_f, best_f, abc_f, aec_f = results[2 * t]
+                    st_r, best_r, abc_r, aec_r = results[2 * t + 1]
+                    if st_f != STATUS_OK or st_r != STATUS_OK:
+                        _reprobe(fs)  # arena overflow etc.: exact per-read
+                        continue
+                    if best_f > FIRST_ROUND_SCORE_CUTOFF:
+                        fs.strand_known = True
+                        fs.rc = False
+                        fs.as_ = abc_f
+                        fs.ae = aec_f
+                        fs.score = best_f
+                    if best_r > FIRST_ROUND_SCORE_CUTOFF and best_r > fs.score:
+                        fs.strand_known = True
+                        fs.rc = True
+                        fs.as_ = abc_r
+                        fs.ae = aec_r
+                        fs.score = best_r
+                        fs.seq = revcom(fs.seq)
+            reprobed = True
+        # window sizes are known up front: group reads by whether their
+        # window fits the device scorer, then by whether their traceback
+        # fits the default arena; solve each group batched
+        narrow: list = []
+        wide: list = []
+        device: list = []
+        scorer = None
+        if engine == "jax" and not a.hp:
+            import os
+
+            from ..utils.encoding import encode_seq
+            from .jax_engine import Pass1Scorer, WIN_W, L_MAX
+
+            steal = os.environ.get("MIA_TPU_STEAL", "1") != "0"
+            try:
+                from . import jax_engine as je
+
+                enc = encode_seq(ref.seq[: ref.wrap_seq_len])
+                if mesh is None:
+                    from ..serve import connect_scorer
+
+                    scorer = connect_scorer(
+                        enc, enc, ref.wrap_seq_len, ancsubmat, rcancsubmat
+                    )
+                    if (
+                        scorer is not None
+                        and steal
+                        and not scorer.device_ready()
+                    ):
+                        scorer = None  # cold server: realign natively
+                # local device only when its program is already warm
+                # in-process (pass 1 compiled and ran it) — a cold
+                # compile would stall the whole iteration, and the
+                # native window solver is fast.  Checked BEFORE
+                # construction so no extra init thread is ever spawned
+                # (MIA_TPU_STEAL=0 forces the device path regardless).
+                if scorer is None and (not steal or je.any_program_warm()):
+                    scorer = Pass1Scorer(
+                        enc,
+                        enc,
+                        ref.wrap_seq_len,
+                        ancsubmat,
+                        rcancsubmat,
+                        mesh=mesh,
+                        warm=False,
+                    )
+            except Exception:
+                scorer = None  # no usable device: all-native realign
+        for fs in fsdb.fss:
+            if not fs.strand_known:
+                continue
+            len2 = len(fs.seq)
+            lo, hi = _window(fs, len2)
+            job = (fs, lo, hi)
+            if (hi - lo) + len2 + 2 > bh.TRACE_CAP:
+                wide.append(job)
+            elif (
+                scorer is not None
+                and hi - max(lo - 2, 0) <= WIN_W
+                and len2 <= L_MAX
+            ):
+                device.append(job)
+            else:
+                narrow.append(job)
+        # device-sized windows: dispatch ALL chunks asynchronously, then
+        # run the native groups (the TPU scores while the host solves)
+        dev_handles: list = []
+        if device:
+            from .jax_engine import MAX_INTERVALS, pack_s2c
+
+            E = scorer.E
+            for c0 in range(0, len(device), E):
+                chunk = device[c0 : c0 + E]
                 m = len(chunk)
-                ivg = np.zeros((m, 1, 2), np.int32)
-                ivg[:, 0, 0] = los
-                ivg[:, 0, 1] = his
-                meta, ref_a, frag_a = bh.finish(
-                    arena,
-                    off[:-1],
-                    lens,
-                    np.zeros(m, np.uint8),
-                    smidx.astype(np.uint8),
-                    best.astype(np.int32),
-                    aec,
-                    ivg,
+                arena, off, lens = bh.pack_reads([fs.seq for fs, _, _ in chunk])
+                los = np.fromiter((lo for _, lo, _ in chunk), np.int32, m)
+                his = np.fromiter((hi for _, _, hi in chunk), np.int32, m)
+                ws = np.maximum(los - 2, 0)
+                # K must match the pass-1 shape exactly or the program
+                # recompiles (shape-keyed jit cache)
+                ivl = np.zeros((m, MAX_INTERVALS, 2), np.int32)
+                ivl[:, 0, 0] = los - ws
+                ivl[:, 0, 1] = his - ws
+                smidx = np.fromiter(
+                    (1 if fs.rc else 0 for fs, _, _ in chunk), np.int8, m
                 )
-                cap = bh.TRACE_CAP
+                s2c = pack_s2c(arena, off[:-1], lens)
+                handle = scorer.dispatch_entries(
+                    np.zeros(m, np.int8), ws, ivl, s2c, lens, smidx
+                )
+                dev_handles.append(
+                    (chunk, handle, arena, off, lens, ws, los, his, smidx)
+                )
+        _t_ns = _time2 = __import__("time").time()
+        CHUNK = 8192
+        # bound per-chunk output-arena allocation (2 arenas of n*cap
+        # bytes): the wide group's cap is the full reference width, so
+        # scale its chunk size down to ~TARGET_ARENA bytes per arena
+        TARGET_ARENA = CHUNK * bh.TRACE_CAP
+        for jobs, cap in ((narrow, bh.TRACE_CAP), (wide, bh.wide_cap)):
+            chunk_n = max(1, min(CHUNK, TARGET_ARENA // max(cap, 1)))
+            for c0 in range(0, len(jobs), chunk_n):
+                chunk = jobs[c0 : c0 + chunk_n]
+                arena, off, lens = bh.pack_reads([fs.seq for fs, _, _ in chunk])
+                wlo = np.fromiter((lo for _, lo, _ in chunk), np.int32, len(chunk))
+                whi = np.fromiter((hi for _, _, hi in chunk), np.int32, len(chunk))
+                smidx = np.fromiter(
+                    (1 if fs.rc else 0 for fs, _, _ in chunk), np.uint8, len(chunk)
+                )
+                meta, ref_a, frag_a = bh.solve_rei(
+                    arena, off[:-1], lens, smidx, wlo, whi, cap=cap
+                )
                 for j, (fs, _, _) in enumerate(chunk):
-                    n = int(meta[j, 3])
-                    if n < 0:
-                        continue  # native finish failed: per-read path below
+                    if meta[j, 0] != STATUS_OK:
+                        continue  # falls back to the per-read path below
+                    n = int(meta[j, 4])
                     native_results[id(fs)] = (
-                        int(meta[j, 0]),
                         int(meta[j, 1]),
                         int(meta[j, 2]),
+                        int(meta[j, 3]),
                         ref_a[j * cap : j * cap + n],
                         frag_a[j * cap : j * cap + n],
                     )
-            bh.close()
+        profiling.add_time("reiterate.native_solve", __import__("time").time() - _t_ns)
+        _t_dev = __import__("time").time()
+        # drain the device chunks: verified margin-window traceback on
+        # the native threads (mia_p1_finish), results in global coords
+        for chunk, handle, arena, off, lens, ws, los, his, smidx in dev_handles:
+            best, aecl = scorer.collect_entries(handle)
+            aec = (aecl + ws).astype(np.int32)
+            m = len(chunk)
+            ivg = np.zeros((m, 1, 2), np.int32)
+            ivg[:, 0, 0] = los
+            ivg[:, 0, 1] = his
+            meta, ref_a, frag_a = bh.finish(
+                arena,
+                off[:-1],
+                lens,
+                np.zeros(m, np.uint8),
+                smidx.astype(np.uint8),
+                best.astype(np.int32),
+                aec,
+                ivg,
+            )
+            cap = bh.TRACE_CAP
+            for j, (fs, _, _) in enumerate(chunk):
+                n = int(meta[j, 3])
+                if n < 0:
+                    continue  # native finish failed: per-read path below
+                native_results[id(fs)] = (
+                    int(meta[j, 0]),
+                    int(meta[j, 1]),
+                    int(meta[j, 2]),
+                    ref_a[j * cap : j * cap + n],
+                    frag_a[j * cap : j * cap + n],
+                )
+        profiling.add_time("reiterate.device_drain", __import__("time").time() - _t_dev)
+        bh.close()
 
+    import time as _time
+
+    _t_merge = _time.time()
     for fs in fsdb.fss:
         if maln.distant_ref and not fs.strand_known and iter_num > 1 and not reprobed:
             _reprobe(fs)
@@ -545,3 +598,4 @@ def reiterate_assembly(
                 )
             else:
                 _python_realign(fs)
+    profiling.add_time("reiterate.merge", _time.time() - _t_merge)

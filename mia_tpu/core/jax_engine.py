@@ -580,83 +580,6 @@ class Pass1Scorer:
         best, aec = self.collect_entries((out, n2, inv))
         return split_pass1_results(best, aec, fw_ws, rc_ws)
 
-    # --------------------------------------------------- mask-based dispatch
-    def dispatch(self, reads, fw_masks, rc_masks):
-        """Enqueue a batch built from per-read boolean masks (the pure-Python
-        path used when the native batch engine is unavailable).  Returns an
-        opaque handle for :meth:`collect`; host-only and over-wide reads are
-        marked for the caller's per-read fallback."""
-        from .hostbatch import FLAG_HOST_ONLY, FLAG_WIDE
-
-        n = len(reads)
-        if n == 0:
-            return (None, 0, None, None, None, np.zeros(0, bool))
-        assert n <= self.batch
-
-        K = MAX_INTERVALS
-        s2c = np.full((n, L_MAX), 4, np.int8)
-        lens = np.ones(n, np.int32)
-        fw_ivg = np.zeros((n, K, 2), np.int32)
-        rc_ivg = np.zeros((n, K, 2), np.int32)
-        fw_ws = np.zeros(n, np.int32)
-        rc_ws = np.zeros(n, np.int32)
-        flags = np.zeros(n, np.int32)
-        for b, r in enumerate(reads):
-            if r:
-                lens[b] = len(r)
-                s2c[b, : len(r)] = encode_seq(r)
-            fiv = mask_intervals(fw_masks[b][: self.len1])
-            riv = mask_intervals(rc_masks[b][: self.len1])
-            if fiv is None or riv is None:
-                flags[b] = FLAG_HOST_ONLY
-                continue
-            fw_ivg[b] = fiv
-            rc_ivg[b] = riv
-            wide = False
-            for iv, ws in ((fiv, fw_ws), (riv, rc_ws)):
-                used = iv[:, 1] > 0
-                if not used.any():
-                    continue  # fully masked strand: empty window, HIM result
-                lo = int(iv[used, 0].min())
-                hi = int(iv[used, 1].max())
-                w0 = max(0, lo - 2)
-                if hi - w0 > WIN_W:
-                    wide = True
-                    break
-                ws[b] = w0
-            if wide:
-                # no native engine to solve wide reads: per-read host path
-                flags[b] = FLAG_WIDE
-                fw_ws[b] = rc_ws[b] = 0
-        handle = self.dispatch_packed(s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags)
-        return handle + (flags != 0,)
-
-    def collect(self, handle):
-        """Materialise a mask-based batch into per-read StrandScore pairs
-        (None entries = 'score on host': fragmented mask or over-wide band)."""
-        host_only = handle[-1]
-        if not handle[1]:
-            return []
-        fb, fa, rb, ra = self.collect_arrays(handle[:-1])
-        res = []
-        for b in range(len(fb)):
-            if host_only[b]:
-                res.append(None)
-            else:
-                res.append(
-                    (
-                        StrandScore(int(fb[b]), int(fa[b])),
-                        StrandScore(int(rb[b]), int(ra[b])),
-                    )
-                )
-        return res
-
-    def score_batch(self, reads, fw_masks, rc_masks):
-        """reads: list[str] (already trimmed); masks: per-read bool arrays.
-        Returns list of (fw StrandScore | None, rc StrandScore | None); None
-        entries mean 'score on host'."""
-        return self.collect(self.dispatch(reads, fw_masks, rc_masks))
-
 
 def windowed_exact_dp(a: Alignment, device_best: int, device_aec: int) -> None:
     """Run the exact host DP for ``a`` restricted to a score-bounded window

@@ -33,11 +33,13 @@ import numpy as np
 def initialize_if_needed() -> bool:
     """`jax.distributed.initialize` from standard env vars; no-op for
     single-process runs.  Returns True when a multi-process runtime was set
-    up."""
-    import jax
-
+    up.  The env check precedes the jax import: single-process runs (and
+    the all-native engine in particular) must not pay the multi-second jax
+    import for a no-op."""
     if os.environ.get("JAX_COORDINATOR_ADDRESS") is None:
         return False
+    import jax
+
     jax.distributed.initialize(
         coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
         num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
