@@ -350,6 +350,11 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             ivg = np.where(
                 strand_a[:, None, None] == 1, rc_ivg[widx], fw_ivg[widx]
             )
+            # tight output cap: a finish traceback spans at most the margin
+            # window + the read length; overflow falls back per read
+            fcap = min(
+                bhost.TRACE_CAP, 2 * int(lens[widx].max(initial=1)) + 768
+            )
             with profiling.phase("pass1.native_finish"):
                 meta, ref_arena, frag_arena = bhost.finish(
                     arena,
@@ -360,8 +365,9 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                     np.asarray(bests, np.int32),
                     np.asarray(aecs, np.int32),
                     ivg,
+                    cap=fcap,
                 )
-        cap = bhost.TRACE_CAP
+        cap = fcap if win else bhost.TRACE_CAP
         t_merge = time.time()
         w = 0
         for i, f in enumerate(records):

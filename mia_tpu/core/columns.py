@@ -70,34 +70,63 @@ def main_column_counts(maln: MapAlignment, exclude_dropped: bool) -> ColumnCount
     return cc
 
 
+def _covering(maln: MapAlignment, pos: int) -> list:
+    """Records with a.start < pos <= a.end, in maln order — one vectorised
+    range test instead of a python scan of every record per insertion
+    column (the reference rescans all reads per column,
+    src/map_align.c:463-467; at 100k reads x hundreds of insertion columns
+    the python scan was minutes)."""
+    seqs = maln.aln_seqs
+    # cache keyed on (pool identity, live count): every record-set change in
+    # the assembly flow goes through set_aln_seqs (fresh pool list), so the
+    # (start, end) arrays stay valid for the whole consensus pass; the pool
+    # reference in the cache also pins the list against id reuse
+    cache = getattr(maln, "_cov_cache", None)
+    if (
+        cache is None
+        or cache[0] is not maln.pool
+        or cache[1] != maln.num_aln_seqs
+    ):
+        starts = np.fromiter((a.start for a in seqs), np.int64, len(seqs))
+        ends = np.fromiter((a.end for a in seqs), np.int64, len(seqs))
+        cache = (maln.pool, maln.num_aln_seqs, starts, ends)
+        maln._cov_cache = cache
+    _, _, starts, ends = cache
+    idx = np.flatnonzero((starts < pos) & (pos <= ends))
+    return [seqs[i] for i in idx]
+
+
 def find_ins_cons(maln: MapAlignment, pos: int, reduce_cc=None):
     """Consensus of the insertion columns immediately upstream of ``pos``
     (find_ins_cons, src/map_align.c:444-510).  Includes dropped reads, as the
     reference does.  Returns (chars uint8 [L], ColumnCounts, frac [L])."""
     L = int(maln.ref.gaps[pos])
     cc = ColumnCounts(L)
-    cols_l, chars_l, depths_l, strands_l = [], [], [], []
-    for a in maln.aln_seqs:
-        if a.start < pos <= a.end:
-            off = pos - a.start
-            if off >= len(a.smp):
-                continue
-            depth = ord(a.smp[off]) - ord("A")
-            ins = a.ins.get(off)
-            chars = np.full(L, ord("-"), dtype=np.uint8)
+    covering = [
+        a for a in _covering(maln, pos) if pos - a.start < len(a.smp)
+    ]
+    m = len(covering)
+    if m:
+        chars = np.full((m, L), ord("-"), dtype=np.uint8)
+        for i, a in enumerate(covering):
+            ins = a.ins.get(pos - a.start)
             if ins is not None:
                 k = min(len(ins), L)
-                chars[:k] = np.frombuffer(ins[:k].encode("latin-1"), dtype=np.uint8)
-            cols_l.append(np.arange(L, dtype=np.int64))
-            chars_l.append(chars)
-            depths_l.append(np.full(L, depth, dtype=np.int64))
-            strands_l.append(np.full(L, bool(a.revcom)))
-    if cols_l:
+                chars[i, :k] = np.frombuffer(
+                    ins[:k].encode("latin-1"), dtype=np.uint8
+                )
+        depths = np.fromiter(
+            (ord(a.smp[pos - a.start]) - ord("A") for a in covering),
+            np.int64,
+            m,
+        )
+        strands = np.fromiter((a.revcom for a in covering), bool, m)
+        cols = np.tile(np.arange(L, dtype=np.int64), m)
         cc.add_bases(
-            np.concatenate(cols_l),
-            np.concatenate(chars_l),
-            np.concatenate(depths_l),
-            np.concatenate(strands_l),
+            cols,
+            chars.reshape(-1),
+            np.repeat(depths, L),
+            np.repeat(strands, L),
             maln.fpsm,
             maln.rpsm,
         )

@@ -556,6 +556,10 @@ def reiterate_assembly(
             ivg = np.zeros((m, 1, 2), np.int32)
             ivg[:, 0, 0] = los
             ivg[:, 0, 1] = his
+            fcap = min(
+                bh.TRACE_CAP,
+                int((his - los).max(initial=1)) + int(lens.max(initial=1)) + 64,
+            )
             meta, ref_a, frag_a = bh.finish(
                 arena,
                 off[:-1],
@@ -565,8 +569,9 @@ def reiterate_assembly(
                 best.astype(np.int32),
                 aec,
                 ivg,
+                cap=fcap,
             )
-            cap = bh.TRACE_CAP
+            cap = fcap
             for j, (fs, _, _) in enumerate(chunk):
                 n = int(meta[j, 3])
                 if n < 0:

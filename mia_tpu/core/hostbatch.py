@@ -231,21 +231,25 @@ class BatchHost:
         dev_aec: np.ndarray,
         ivg: np.ndarray,
         n_threads: int = 0,
+        cap: int = 0,
     ):
         """Window-exact DP + traceback for each read's winning strand,
         threaded over reads.
 
         Returns (meta [n,4] = best/abc/aec/pwlen, ref_arena, frag_arena);
-        read b's strings are the first meta[b,3] chars at offset b*TRACE_CAP.
-        A pwlen of -1 marks a worker failure: rerun that read on the
-        per-read host path.
+        read b's strings are the first meta[b,3] chars at offset b*cap
+        (default TRACE_CAP; callers that pass a tighter cap must slice with
+        the same value).  A pwlen of -1 marks a worker failure (including
+        cap overflow): rerun that read on the per-read host path.
         """
         n = len(lens)
         K = ivg.shape[1]
         meta = np.empty((n, 4), np.int32)
-        cap = self.TRACE_CAP
-        out_ref = ctypes.create_string_buffer(n * cap)
-        out_frag = ctypes.create_string_buffer(n * cap)
+        cap = cap or self.TRACE_CAP
+        # np.empty, not create_string_buffer: the zero-fill of the output
+        # arenas cost more than the DP at production batch sizes
+        out_ref = np.empty(n * cap, np.uint8)
+        out_frag = np.empty(n * cap, np.uint8)
         if n_threads <= 0:
             n_threads = _default_threads()
         self._lib.mia_p1_finish(
@@ -261,12 +265,12 @@ class BatchHost:
             np.ascontiguousarray(ivg, np.int32).ctypes.data_as(ctypes.c_void_p),
             K,
             meta.ctypes.data_as(ctypes.c_void_p),
-            out_ref,
-            out_frag,
+            out_ref.ctypes.data_as(ctypes.c_void_p),
+            out_frag.ctypes.data_as(ctypes.c_void_p),
             cap,
             n_threads,
         )
-        return meta, out_ref.raw, out_frag.raw
+        return meta, out_ref.tobytes(), out_frag.tobytes()
 
     def solve_pass1(
         self,
@@ -288,8 +292,8 @@ class BatchHost:
         n = len(lens)
         meta = np.empty((n, 6), np.int32)
         cap = cap or self.TRACE_CAP
-        out_ref = ctypes.create_string_buffer(n * cap)
-        out_frag = ctypes.create_string_buffer(n * cap)
+        out_ref = np.empty(n * cap, np.uint8)
+        out_frag = np.empty(n * cap, np.uint8)
         if n_threads <= 0:
             n_threads = _default_threads()
         self._lib.mia_p1_solve(
@@ -301,11 +305,11 @@ class BatchHost:
             int(distant_ref),
             n_threads,
             meta.ctypes.data_as(ctypes.c_void_p),
-            out_ref,
-            out_frag,
+            out_ref.ctypes.data_as(ctypes.c_void_p),
+            out_frag.ctypes.data_as(ctypes.c_void_p),
             cap,
         )
-        return meta, out_ref.raw, out_frag.raw
+        return meta, out_ref.tobytes(), out_frag.tobytes()
 
     def solve_rei(
         self,
@@ -324,8 +328,8 @@ class BatchHost:
         n = len(lens)
         meta = np.empty((n, 5), np.int32)
         cap = cap or self.TRACE_CAP
-        out_ref = ctypes.create_string_buffer(n * cap)
-        out_frag = ctypes.create_string_buffer(n * cap)
+        out_ref = np.empty(n * cap, np.uint8)
+        out_frag = np.empty(n * cap, np.uint8)
         if n_threads <= 0:
             n_threads = _default_threads()
         self._lib.mia_rei_solve(
@@ -339,8 +343,8 @@ class BatchHost:
             np.ascontiguousarray(whi, np.int32).ctypes.data_as(ctypes.c_void_p),
             n_threads,
             meta.ctypes.data_as(ctypes.c_void_p),
-            out_ref,
-            out_frag,
+            out_ref.ctypes.data_as(ctypes.c_void_p),
+            out_frag.ctypes.data_as(ctypes.c_void_p),
             cap,
         )
-        return meta, out_ref.raw, out_frag.raw
+        return meta, out_ref.tobytes(), out_frag.tobytes()
