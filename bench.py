@@ -328,7 +328,7 @@ def main() -> int:
     #   initialized backend + warm programs; runs only ship batches.  This
     #   is where the chip's scoring latency actually shows up end-to-end.
     runs = {}
-    nat = _median_runs(3, lambda: _run_ours(ref_fn, frag_fn, "native", "nat"))
+    nat = _median_runs(5, lambda: _run_ours(ref_fn, frag_fn, "native", "nat"))
     if nat:
         runs["native"] = nat
         detail["native_seconds"] = round(nat[0], 2)
@@ -349,7 +349,7 @@ def main() -> int:
             if sc:
                 detail["jax_server_cold_seconds"] = round(sc[0], 2)
                 sw = _median_runs(
-                    3, lambda: _run_ours(ref_fn, frag_fn, "jax", "jsw", env_extra=senv)
+                    5, lambda: _run_ours(ref_fn, frag_fn, "jax", "jsw", env_extra=senv)
                 )
                 if sw:
                     runs["jax_server"] = sw

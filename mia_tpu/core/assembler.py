@@ -6,6 +6,7 @@ the consensus string repeats or MAX_ITER is hit.
 """
 from __future__ import annotations
 
+import os as _os
 import sys
 import time
 
@@ -199,7 +200,18 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             )
             if scorer is not None:
                 profiling.count("pass1.using_server")
-        if scorer is None:
+            elif (
+                _os.environ.get("MIA_TPU_SERVER", "auto") != "0"
+                and _os.environ.get("MIA_TPU_STEAL", "1") != "0"
+            ):
+                # no server yet: connect_scorer spawned one for subsequent
+                # runs; THIS run stays on the native engine — importing the
+                # device runtime in-process would fight the host cores for
+                # the GIL during the very work it should speed up
+                profiling.count("pass1.server_spawned_native_run")
+                use_jax = False
+                use_native = True
+        if use_jax and scorer is None:
             # defer=True: the ~10 s backend init + executable load overlaps
             # the read streaming below instead of blocking before it
             scorer = Pass1Scorer(
@@ -216,8 +228,6 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     # work-stealing switch state for the device path (MIA_TPU_STEAL=0
     # forces every batch to wait for the device — tests use it so the
     # device path is actually exercised on fast-compile backends)
-    import os as _os
-
     steal = _os.environ.get("MIA_TPU_STEAL", "1") != "0"
     device_on = False
 

@@ -336,13 +336,19 @@ class ServerScorer:
 def connect_scorer(*args, **kwargs) -> "ServerScorer | None":
     """ServerScorer when a server is reachable, else None.
 
-    Policy via MIA_TPU_SERVER: "0" never; a path or unset = connect to the
-    (default) socket when present."""
-    policy = os.environ.get("MIA_TPU_SERVER", "")
+    Policy via MIA_TPU_SERVER: "0" never; a path = that socket; unset or
+    "auto" = the default socket, and when it does not exist yet a detached
+    server is SPAWNED for subsequent runs (this run proceeds on the native
+    engine — importing the device runtime in-process would fight the
+    2-core host for the GIL during the very work it is meant to speed up).
+    "spawn" forces the spawn attempt too."""
+    policy = os.environ.get("MIA_TPU_SERVER", "auto")
     if policy == "0":
         return None
     path = policy if policy not in ("", "auto", "spawn") else sock_path()
     if not os.path.exists(path):
+        if policy in ("", "auto", "spawn"):
+            spawn_server(path)
         return None
     try:
         return ServerScorer(*args, path=path, **kwargs)
@@ -351,12 +357,30 @@ def connect_scorer(*args, **kwargs) -> "ServerScorer | None":
 
 
 def spawn_server(path: str | None = None, idle_timeout: float = 3600.0) -> None:
-    """Start a detached server process (for the NEXT run; returns at once)."""
+    """Start a detached server process (for the NEXT run; returns at once).
+    An O_EXCL lock file makes concurrent spawners race safely; the lock is
+    left in place while the server lives (the server unlinks it on exit is
+    not required — a dead socket plus stale lock is cleaned up here)."""
     import subprocess
     import sys
 
     path = path or sock_path()
     if os.path.exists(path):
+        return
+    lock = path + ".spawn"
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        # someone spawned recently; clear a stale lock (no socket appeared
+        # within 10 minutes) so the next run can retry
+        try:
+            import time as _t
+
+            if _t.time() - os.path.getmtime(lock) > 600:
+                os.unlink(lock)
+        except OSError:
+            pass
         return
     log = os.path.join(os.path.dirname(path) or "/tmp", "mia-tpu-serve.log")
     with open(log, "ab") as lf:
