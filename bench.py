@@ -340,6 +340,12 @@ def main() -> int:
             runs["jax"] = jx
             detail["jax_warm_seconds"] = round(jx[0], 2)
 
+    detail["jax_note"] = (
+        "jax rows run with MIA_TPU_SERVER=0 (in-process device runtime; "
+        "pays backend init + executable load per process, work-stealing "
+        "keeps it ~native). Production default auto-spawns the resident "
+        "server = the jax_server rows."
+    )
     sock = os.path.join(tempfile.mkdtemp(prefix="bench_srv_"), "serve.sock")
     srv = _start_server(sock)
     if srv is not None:

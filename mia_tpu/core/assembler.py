@@ -230,6 +230,12 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     # device path is actually exercised on fast-compile backends)
     steal = _os.environ.get("MIA_TPU_STEAL", "1") != "0"
     device_on = False
+    # one worker overlaps each batch's native finish with the previous
+    # batch's python merge (pass-1 device path)
+    import concurrent.futures as _cf
+
+    finish_pool = _cf.ThreadPoolExecutor(max_workers=1)
+    finishing: list = []
 
     def _host_align_one(f) -> None:
         """Per-read host fallback (mask too fragmented for the device)."""
@@ -310,9 +316,12 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             maln, f, fsdb, bool(m[1]), int(m[2]), int(m[3]), int(m[4]), pw
         )
 
-    def _drain_oldest_native() -> None:
+    def _start_drain():
+        """Collect the oldest batch, pick winners, and SUBMIT the native
+        finish (window DP + traceback) to the worker thread; the python
+        merge of the previous batch overlaps it (the FFI call releases the
+        GIL).  Returns a token for :func:`_merge_drained`."""
         from ..constants import FIRST_ROUND_SCORE_CUTOFF
-        from .driver import finish_alignment
         from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP, FLAG_WIDE
 
         profiling.count("pass1.batches_drained")
@@ -327,11 +336,6 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             for i in range(len(records))
             if (flags[i] & FLAG_WIDE) and not (flags[i] & (FLAG_SKIP | FLAG_HOST_ONLY))
         ]
-        wide_res = (
-            dict(zip(wide_idx, _solve_native_subset([records[i] for i in wide_idx])))
-            if wide_idx
-            else {}
-        )
         # select windowed winners (strand, gate) -> one native finish call
         win: list[int] = []
         strand = []
@@ -354,7 +358,17 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             aecs.append(int(ra[i] if rcwin else fa[i]))
         profiling.count("pass1.device_scored_reads", len(win))
         profiling.count("pass1.native_solved_wide_reads", len(wide_idx))
-        if win:
+
+        def work():
+            wide_res = (
+                dict(
+                    zip(wide_idx, _solve_native_subset([records[i] for i in wide_idx]))
+                )
+                if wide_idx
+                else {}
+            )
+            if not win:
+                return wide_res, None, None, None, bhost.TRACE_CAP
             widx = np.asarray(win)
             strand_a = np.asarray(strand, np.uint8)
             ivg = np.where(
@@ -365,19 +379,29 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             fcap = min(
                 bhost.TRACE_CAP, 2 * int(lens[widx].max(initial=1)) + 768
             )
-            with profiling.phase("pass1.native_finish"):
-                meta, ref_arena, frag_arena = bhost.finish(
-                    arena,
-                    off[widx],
-                    lens[widx],
-                    strand_a,
-                    np.zeros(len(win), np.uint8),
-                    np.asarray(bests, np.int32),
-                    np.asarray(aecs, np.int32),
-                    ivg,
-                    cap=fcap,
-                )
-        cap = fcap if win else bhost.TRACE_CAP
+            t0 = time.time()
+            meta, ref_arena, frag_arena = bhost.finish(
+                arena,
+                off[widx],
+                lens[widx],
+                strand_a,
+                np.zeros(len(win), np.uint8),
+                np.asarray(bests, np.int32),
+                np.asarray(aecs, np.int32),
+                ivg,
+                cap=fcap,
+            )
+            profiling.add_time("pass1.native_finish", time.time() - t0)
+            return wide_res, meta, ref_arena, frag_arena, fcap
+
+        return records, flags, strand, finish_pool.submit(work)
+
+    def _merge_drained(token) -> None:
+        from .driver import finish_alignment
+        from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP, FLAG_WIDE
+
+        records, flags, strand, fut = token
+        wide_res, meta, ref_arena, frag_arena, cap = fut.result()
         t_merge = time.time()
         w = 0
         for i, f in enumerate(records):
@@ -500,7 +524,12 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             or len(inflight) > MAX_INFLIGHT
             or type(scorer).ready(inflight[0][1])
         ):
-            _drain_oldest_native()
+            finishing.append(_start_drain())
+            while len(finishing) > 1:
+                _merge_drained(finishing.pop(0))
+        if final:
+            while finishing:
+                _merge_drained(finishing.pop(0))
 
     t_pass1 = time.time()
     if multi:
@@ -567,6 +596,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             profiling.count("pass1.batches_stolen_native")
             _flush_native()
         flush_pending(final=True)
+        finish_pool.shutdown(wait=True)
     if bhost is not None:
         bhost.close()
     profiling.count("pass1.reads_seen", seen)
