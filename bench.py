@@ -328,39 +328,78 @@ def main() -> int:
     #   initialized backend + warm programs; runs only ship batches.  This
     #   is where the chip's scoring latency actually shows up end-to-end.
     runs = {}
-    nat = _median_runs(5, lambda: _run_ours(ref_fn, frag_fn, "native", "nat"))
-    if nat:
-        runs["native"] = nat
-        detail["native_seconds"] = round(nat[0], 2)
-    jx_cold = _run_ours(ref_fn, frag_fn, "jax", "jxc")
-    if jx_cold:
-        detail["jax_cold_seconds"] = round(jx_cold[0], 2)
-        jx = _median_runs(3, lambda: _run_ours(ref_fn, frag_fn, "jax", "jxw"))
-        if jx:
-            runs["jax"] = jx
-            detail["jax_warm_seconds"] = round(jx[0], 2)
-
     detail["jax_note"] = (
         "jax rows run with MIA_TPU_SERVER=0 (in-process device runtime; "
         "pays backend init + executable load per process, work-stealing "
         "keeps it ~native). Production default auto-spawns the resident "
-        "server = the jax_server rows."
+        "server = the jax_server rows.  Engine rounds are INTERLEAVED so "
+        "this multi-tenant box's time-varying load hits every engine's "
+        "median equally."
     )
     sock = os.path.join(tempfile.mkdtemp(prefix="bench_srv_"), "serve.sock")
     srv = _start_server(sock)
-    if srv is not None:
-        try:
-            senv = {"MIA_TPU_SERVER": sock, "MIA_TPU_STEAL": "0"}
+    senv = {"MIA_TPU_SERVER": sock, "MIA_TPU_STEAL": "0"}
+    try:
+        jx_cold = _run_ours(ref_fn, frag_fn, "jax", "jxc")
+        if jx_cold:
+            detail["jax_cold_seconds"] = round(jx_cold[0], 2)
+        if srv is not None:
             sc = _run_ours(ref_fn, frag_fn, "jax", "jsc", env_extra=senv)
             if sc:
                 detail["jax_server_cold_seconds"] = round(sc[0], 2)
-                sw = _median_runs(
-                    5, lambda: _run_ours(ref_fn, frag_fn, "jax", "jsw", env_extra=senv)
+        samples = {"native": [], "jax": [], "jax_server": []}
+        for _ in range(5):
+            r = _run_ours(ref_fn, frag_fn, "native", "nat")
+            if r:
+                samples["native"].append(r)
+            r = _run_ours(ref_fn, frag_fn, "jax", "jxw")
+            if r:
+                samples["jax"].append(r)
+            if srv is not None:
+                r = _run_ours(ref_fn, frag_fn, "jax", "jsw", env_extra=senv)
+                if r:
+                    samples["jax_server"].append(r)
+        for name, key in (
+            ("native", "native_seconds"),
+            ("jax", "jax_warm_seconds"),
+            ("jax_server", "jax_server_warm_seconds"),
+        ):
+            ss = sorted(samples[name], key=lambda r: r[0])
+            if ss:
+                runs[name] = ss[len(ss) // 2]
+                detail[key] = round(runs[name][0], 2)
+
+        # 100k-read pair (informational): at this scale the device engine's
+        # advantage (reiterate on-device, overlapped finish) exceeds box
+        # noise
+        try:
+            from mia_tpu.models.simulate import SimConfig, simulate_reads
+            frag100 = os.path.join(d, "r100k.fastq")
+            if not os.path.exists(frag100):
+                with open(ref_fn) as fh:
+                    ref_seq = "".join(
+                        ln.strip() for ln in fh if not ln.startswith(">")
+                    )
+                with open(frag100, "w") as f:
+                    for name, seq, qual in simulate_reads(
+                        ref_seq, SimConfig(num_reads=100000, mean_len=60, seed=3)
+                    ):
+                        f.write(f"@{name}\n{seq}\n+\n{qual}\n")
+            n100 = _run_ours(ref_fn, frag100, "native", "n100", timeout=1200)
+            if n100:
+                detail["native_100k_seconds"] = round(n100[0], 2)
+            if srv is not None:
+                j100 = _run_ours(
+                    ref_fn, frag100, "jax", "j100", timeout=1200, env_extra=senv
                 )
-                if sw:
-                    runs["jax_server"] = sw
-                    detail["jax_server_warm_seconds"] = round(sw[0], 2)
-        finally:
+                if j100:
+                    detail["jax_server_100k_seconds"] = round(j100[0], 2)
+                if n100 and j100 and _norm_maln(n100[1]) != _norm_maln(j100[1]):
+                    detail["parity_100k"] = "MISMATCH"
+        except Exception as e:
+            detail["e2e_100k_error"] = type(e).__name__
+    finally:
+        if srv is not None:
             srv.terminate()
             try:
                 srv.wait(timeout=30)
