@@ -407,7 +407,7 @@ def main() -> int:
                 srv.kill()
 
     # correctness gate
-    oracle = c_maln or (nat and nat[1])
+    oracle = c_maln or (runs.get("native") and runs["native"][1])
     ok = True
     if oracle:
         want = _norm_maln(oracle)

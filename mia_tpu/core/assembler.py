@@ -651,11 +651,16 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                     cfg.intercept,
                 )
         if multi:
-            record_keys[:] = dist.culled_record_keys(fsdb, gf.sort_pos())
             dist.allreduce_max(maln.ref.gaps)
         culled.fpsm = ancsubmat
         culled.rpsm = rcancsubmat
         sort_aln_frags(culled)
+        if multi:
+            # AFTER the stable (start,end) sort: keys are looked up by record
+            # identity so equal-(start,end) records keep their owner's global
+            # sort position (a positional zip against the pre-sort picked
+            # order would attach wrong tie-break keys)
+            record_keys[:] = dist.culled_record_keys(fsdb, gf.sort_pos(), culled)
 
     def _write_maln(fn: str) -> None:
         with profiling.phase("io.write_maln"):

@@ -449,10 +449,11 @@ def populate_pwaln_to_begin(a: Alignment) -> tuple[str, str]:
             ctypes.byref(abr),
             ctypes.byref(abc),
         )
-        return (
-            out_ref.raw[:n].decode("latin-1"),
-            out_frag.raw[:n].decode("latin-1"),
-        )
+        if n >= 0:  # n == -1: cap overflow -> python walk below
+            return (
+                out_ref.raw[:n].decode("latin-1"),
+                out_frag.raw[:n].decode("latin-1"),
+            )
 
     ras: list[str] = []
     fas: list[str] = []
@@ -578,6 +579,8 @@ def _native_sg_window(a: Alignment, do_trace: bool) -> bool:
     a.abc = int(meta[2]) + win_lo
     if do_trace:
         n = int(meta[3])
+        if n < 0:  # traceback cap overflow: let the classic path redo it
+            return False
         a.pw = (
             out_ref.raw[:n].decode("latin-1"),
             out_frag.raw[:n].decode("latin-1"),

@@ -252,18 +252,23 @@ class GlobalReadFilter:
         return {s.gid: i for i, s in enumerate(self._fsdb.fss)}
 
 
-def culled_record_keys(fsdb, sort_pos: dict[int, int]) -> list[tuple[int, int]]:
-    """(owner global-sort position, segment index) per culled record, in the
-    local picked order (cull_maln_from_fsdb appends front then back per
-    unique read, src/mia.c:432-470)."""
-    keys = []
+def culled_record_keys(
+    fsdb, sort_pos: dict[int, int], culled
+) -> list[tuple[int, int]]:
+    """(owner global-sort position, segment index) per culled record, in
+    ``culled.aln_seqs`` order.  Call AFTER sort_aln_frags: keys are bound to
+    the record objects themselves (front/back AlnSeq identity), so the
+    stable (start,end) re-sort cannot detach a record from its owner's
+    tie-break key (cull picks front then back per unique read,
+    src/mia.c:432-470)."""
+    by_rec: dict[int, tuple[int, int]] = {}
     for fs in fsdb.fss:
         if fs.unique_best:
             p = sort_pos[fs.gid]
-            keys.append((p, 0))
+            by_rec[id(fs.front_asp)] = (p, 0)
             if fs.back_asp is not None:
-                keys.append((p, 1))
-    return keys
+                by_rec[id(fs.back_asp)] = (p, 1)
+    return [by_rec[id(a)] for a in culled.aln_seqs]
 
 
 def write_ma_global(

@@ -103,28 +103,46 @@ class Server:
         except OSError:
             pass
         srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        srv.bind(self.path)
+        # umask guard: the socket must never be group/other-connectable even
+        # for an instant (the protocol is pickle = code execution on accept)
+        old_umask = os.umask(0o177)
+        try:
+            srv.bind(self.path)
+        finally:
+            os.umask(old_umask)
         os.chmod(self.path, 0o600)
         srv.listen(16)
         srv.settimeout(5.0)
-        # initialize the backend + warm nothing yet (scorers warm on demand)
-        import jax
+        try:
+            # initialize the backend (scorers warm on demand)
+            import jax
 
-        n_dev = len(jax.devices())
-        print(f"mia-tpu-serve: ready on {self.path} ({n_dev} device(s))", flush=True)
-        while True:
-            try:
-                conn, _ = srv.accept()
-            except socket.timeout:
-                if (
-                    self.idle_timeout
-                    and _now() - self._last_activity > self.idle_timeout
-                ):
-                    print("mia-tpu-serve: idle timeout, exiting", flush=True)
-                    return
-                continue
-            t = threading.Thread(target=self._client, args=(conn,), daemon=True)
-            t.start()
+            n_dev = len(jax.devices())
+            print(
+                f"mia-tpu-serve: ready on {self.path} ({n_dev} device(s))",
+                flush=True,
+            )
+            while True:
+                try:
+                    conn, _ = srv.accept()
+                except socket.timeout:
+                    if (
+                        self.idle_timeout
+                        and _now() - self._last_activity > self.idle_timeout
+                    ):
+                        print("mia-tpu-serve: idle timeout, exiting", flush=True)
+                        return
+                    continue
+                t = threading.Thread(target=self._client, args=(conn,), daemon=True)
+                t.start()
+        finally:
+            # leave no stale socket behind: a dead socket would make every
+            # future connect_scorer fail AND suppress respawn forever
+            for p in (self.path, self.path + ".spawn"):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
 
     def _client(self, conn: socket.socket) -> None:
         try:
@@ -352,6 +370,17 @@ def connect_scorer(*args, **kwargs) -> "ServerScorer | None":
         return None
     try:
         return ServerScorer(*args, path=path, **kwargs)
+    except (ConnectionRefusedError, FileNotFoundError):
+        # stale socket (server died without cleanup): clear it and respawn
+        # so the default engine heals instead of degrading to native forever
+        for p in (path, path + ".spawn"):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        if policy in ("", "auto", "spawn"):
+            spawn_server(path)
+        return None
     except Exception:
         return None
 

@@ -162,8 +162,11 @@ int32_t mia_dp_traceback(const int32_t* trace, int len1, int len2, int aer,
   char* r = out_ref + cap;
   char* f = out_frag + cap;
   const int32_t* tr = trace;
+  // bounded walk: overflowing cap returns -1 (documented per-read fallback)
+  // instead of silently writing before out_ref
   while (tr[(size_t)row * len1 + col] != col &&
          tr[(size_t)row * len1 + col] != -row) {
+    if (n >= cap) return -1;
     *--r = seq1[col];
     *--f = seq2[row];
     ++n;
@@ -176,6 +179,7 @@ int32_t mia_dp_traceback(const int32_t* trace, int len1, int len2, int aer,
       --row;
       --col;
       while (row > next_row) {
+        if (n >= cap) return -1;
         *--f = seq2[row--];
         *--r = '-';
         ++n;
@@ -185,12 +189,14 @@ int32_t mia_dp_traceback(const int32_t* trace, int len1, int len2, int aer,
       --row;
       --col;
       while (col > next_col) {
+        if (n >= cap) return -1;
         *--f = '-';
         *--r = seq1[col--];
         ++n;
       }
     }
   }
+  if (n >= cap) return -1;
   *--r = seq1[col];
   *--f = seq2[row];
   ++n;

@@ -52,6 +52,34 @@ with open(sys.argv[1], "wb") as f:
 """
 
 
+def test_culled_record_keys_follow_records_through_sort():
+    """Keys must be bound to record identity, not picked position: after
+    sort_aln_frags reorders equal-(start,end) culled records, each record
+    keeps its owner's (global sort position, segment) key (regression for
+    the positional-zip bug)."""
+    from mia_tpu.core.columns import sort_aln_frags
+    from mia_tpu.core.types import AlnSeq, FragSeq, FSDB, MapAlignment
+    from mia_tpu.parallel.distributed import culled_record_keys
+
+    fsdb = FSDB()
+    culled = MapAlignment()
+    picked = []
+    # picked order [start=5, start=3]: sort_aln_frags reverses them
+    for gid, start in ((7, 5), (3, 3)):
+        fs = FragSeq()
+        fs.gid = gid
+        fs.unique_best = True
+        fs.front_asp = AlnSeq(id=f"r{gid}", start=start, end=start + 10)
+        fsdb.fss.append(fs)
+        picked.append(fs.front_asp)
+    culled.set_aln_seqs(picked)
+    sort_aln_frags(culled)
+    sort_pos = {7: 1, 3: 0}
+    keys = culled_record_keys(fsdb, sort_pos, culled)
+    assert [a.id for a in culled.aln_seqs] == ["r3", "r7"]
+    assert keys == [(0, 0), (1, 0)]
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
