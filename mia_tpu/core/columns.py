@@ -34,12 +34,14 @@ def main_column_counts(maln: MapAlignment, exclude_dropped: bool) -> ColumnCount
     ]
     if not recs:
         return cc
+    # int32 throughout: at ~30 us/page first-touch on this host (see
+    # utils/hostmem.py) the index arrays' memory footprint IS the cost
     spans = np.fromiter(
         (min(a.end - a.start + 1, len(a.seq), len(a.smp)) for a in recs),
-        np.int64,
+        np.int32,
         len(recs),
     )
-    starts = np.fromiter((a.start for a in recs), np.int64, len(recs))
+    starts = np.fromiter((a.start for a in recs), np.int32, len(recs))
     revs = np.fromiter((a.revcom for a in recs), bool, len(recs))
     seq_arena = np.frombuffer(
         "".join(a.seq for a in recs).encode("latin-1"), np.uint8
@@ -47,26 +49,39 @@ def main_column_counts(maln: MapAlignment, exclude_dropped: bool) -> ColumnCount
     smp_arena = np.frombuffer(
         "".join(a.smp for a in recs).encode("latin-1"), np.uint8
     )
-    seq_lens = np.fromiter((len(a.seq) for a in recs), np.int64, len(recs))
-    smp_lens = np.fromiter((len(a.smp) for a in recs), np.int64, len(recs))
-    seq_off = np.concatenate(([0], np.cumsum(seq_lens)[:-1]))
-    smp_off = np.concatenate(([0], np.cumsum(smp_lens)[:-1]))
+    seq_lens = np.fromiter((len(a.seq) for a in recs), np.int32, len(recs))
+    smp_lens = np.fromiter((len(a.smp) for a in recs), np.int32, len(recs))
+    seq_off = np.concatenate(([0], np.cumsum(seq_lens, dtype=np.int32)[:-1]))
+    smp_off = np.concatenate(([0], np.cumsum(smp_lens, dtype=np.int32)[:-1]))
 
-    total = int(spans.sum())
-    ridx = np.repeat(np.arange(len(recs)), spans)
-    span_off = np.concatenate(([0], np.cumsum(spans)[:-1]))
-    within = np.arange(total, dtype=np.int64) - span_off[ridx]
-    cols = starts[ridx] + within
-    ok = (cols >= 0) & (cols < n)
-    ridx, within, cols = ridx[ok], within[ok], cols[ok]
-    cc.add_bases(
-        cols,
-        seq_arena[seq_off[ridx] + within],
-        smp_arena[smp_off[ridx] + within].astype(np.int64) - ord("A"),
-        revs[ridx],
-        maln.fpsm,
-        maln.rpsm,
-    )
+    # chunk the flattened observation stream: the peak temp footprint stays
+    # ~CHUNK elements, so its pages fault once and are reused by every later
+    # block/call.  Accumulation order within a column is unchanged and the
+    # float64 score sums are integer-exact, so chunking is bit-neutral.
+    CHUNK = 2 * 1024 * 1024
+    csum = np.cumsum(spans, dtype=np.int64)
+    total = int(csum[-1])
+    cuts = np.searchsorted(csum, np.arange(CHUNK, total, CHUNK)) + 1
+    edges = np.unique(np.concatenate(([0], cuts, [len(recs)])))
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        sp = spans[lo:hi]
+        tot = int(sp.sum())
+        if tot == 0:
+            continue
+        ridx = np.repeat(np.arange(lo, hi, dtype=np.int32), sp)
+        off = np.concatenate(([0], np.cumsum(sp, dtype=np.int32)[:-1]))
+        within = np.arange(tot, dtype=np.int32) - np.repeat(off, sp)
+        cols = starts[ridx] + within
+        ok = (cols >= 0) & (cols < n)
+        ridx, within, cols = ridx[ok], within[ok], cols[ok]
+        cc.add_bases(
+            cols,
+            seq_arena[seq_off[ridx] + within],
+            smp_arena[smp_off[ridx] + within].astype(np.int32) - ord("A"),
+            revs[ridx],
+            maln.fpsm,
+            maln.rpsm,
+        )
     return cc
 
 

@@ -58,14 +58,15 @@ class ColumnCounts:
         counted = bi >= 0
         n5 = self.n * 5
         self.counts += np.bincount(
-            col[counted] * 5 + bi[counted].astype(np.int64), minlength=n5
+            col[counted].astype(np.int32) * 5 + bi[counted].astype(np.int32),
+            minlength=n5,
         ).reshape(self.n, 5)
         self.cov += np.bincount(col, minlength=self.n)
         nongap = chars != ord("-")
         if np.any(nongap):
-            sub = _SUB_IDX[chars[nongap]].astype(np.int64)
-            d = depths[nongap].astype(np.int64)
-            s = strands[nongap].astype(np.int64)
+            sub = _SUB_IDX[chars[nongap]].astype(np.int32)
+            d = depths[nongap].astype(np.int32)
+            s = strands[nongap].astype(np.int32)
             c = col[nongap]
             # one fancy-index gather from a [2, 31, 5, 4] strand/depth/sub LUT
             # (transposed so the candidate-base axis comes out last)
