@@ -161,7 +161,10 @@ def consensus_assembly_string(maln: MapAlignment, reduce_cc=None) -> str:
     before the consensus decision — the production all-reduce of the
     reference's BaseCounts (src/map_align.c:229-263); counts are integer so
     the merged decision is exact on every host."""
-    cc = main_column_counts(maln, exclude_dropped=True)
+    from ..utils import profiling
+
+    with profiling.phase("consensus.main_counts"):
+        cc = main_column_counts(maln, exclude_dropped=True)
     if reduce_cc is not None:
         cc = reduce_cc(cc)
     cons_chars, _ = find_consensus_cols(cc, maln.cons_code)

@@ -548,9 +548,12 @@ def reiterate_assembly(
         profiling.add_time("reiterate.native_solve", __import__("time").time() - _t_ns)
         _t_dev = __import__("time").time()
         # drain the device chunks: verified margin-window traceback on
-        # the native threads (mia_p1_finish), results in global coords
-        for chunk, handle, arena, off, lens, ws, los, his, smidx in dev_handles:
-            best, aecl = scorer.collect_entries(handle)
+        # the native threads (mia_p1_finish), results in global coords.
+        # The finish FFI call releases the GIL, so it runs on a worker
+        # thread while the main thread waits on the NEXT chunk's server
+        # collect — the same overlap pass 1 uses.
+        def _finish_chunk(args):
+            chunk, arena, off, lens, ws, los, his, smidx, best, aecl = args
             aec = (aecl + ws).astype(np.int32)
             m = len(chunk)
             ivg = np.zeros((m, 1, 2), np.int32)
@@ -571,7 +574,12 @@ def reiterate_assembly(
                 ivg,
                 cap=fcap,
             )
-            cap = fcap
+            return chunk, meta, ref_a, frag_a, fcap
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _store(fut) -> None:
+            chunk, meta, ref_a, frag_a, cap = fut.result()
             for j, (fs, _, _) in enumerate(chunk):
                 n = int(meta[j, 3])
                 if n < 0:
@@ -583,6 +591,21 @@ def reiterate_assembly(
                     ref_a[j * cap : j * cap + n],
                     frag_a[j * cap : j * cap + n],
                 )
+
+        with ThreadPoolExecutor(1) as fin_pool:
+            futs: list = []
+            for chunk, handle, arena, off, lens, ws, los, his, smidx in dev_handles:
+                best, aecl = scorer.collect_entries(handle)
+                futs.append(
+                    fin_pool.submit(
+                        _finish_chunk,
+                        (chunk, arena, off, lens, ws, los, his, smidx, best, aecl),
+                    )
+                )
+                while len(futs) > 1:
+                    _store(futs.pop(0))
+            while futs:
+                _store(futs.pop(0))
         profiling.add_time("reiterate.device_drain", __import__("time").time() - _t_dev)
         bh.close()
 

@@ -89,12 +89,14 @@ def alnseq_lines(a) -> list[str]:
         f"SEQ {a.seq}",
         f"SMP {a.smp}",
     ]
-    ins_parts = []
-    for j in range(len(a.seq)):
-        s = a.ins.get(j)
-        if s is not None:
-            ins_parts.append(f" {j} {s}")
-    lines.append("INS_POS" + "".join(ins_parts))
+    if a.ins:
+        n = len(a.seq)
+        lines.append(
+            "INS_POS"
+            + "".join(f" {j} {a.ins[j]}" for j in sorted(a.ins) if 0 <= j < n)
+        )
+    else:
+        lines.append("INS_POS")
     return lines
 
 
