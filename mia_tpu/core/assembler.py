@@ -236,6 +236,10 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
 
     finish_pool = _cf.ThreadPoolExecutor(max_workers=1)
     finishing: list = []
+    # a second worker overlaps pack/k-mer-prepare/dispatch with the read
+    # streaming (the FFI calls release the GIL, so this is real overlap on
+    # the 2-core host); inflight holds futures in stream order
+    prep_pool = _cf.ThreadPoolExecutor(max_workers=1)
 
     def _host_align_one(f) -> None:
         """Per-read host fallback (mask too fragmented for the device)."""
@@ -325,7 +329,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP, FLAG_WIDE
 
         profiling.count("pass1.batches_drained")
-        records, handle, prep = inflight.pop(0)
+        records, handle, prep = inflight.pop(0).result()
         arena, off, lens, fw_ivg, rc_ivg, flags = prep
         with profiling.phase("pass1.collect_wait"):
             fb, fa, rb, ra = scorer.collect_arrays(handle)
@@ -497,34 +501,40 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 maln, f, fsdb, bool(m[1]), int(m[2]), int(m[3]), int(m[4]), pw
             )
 
-    def flush_pending(final: bool = False) -> None:
+    def _prepare_dispatch(records: list):
+        """Worker-thread half of a batch submit: pack + k-mer prepare +
+        device dispatch (all FFI/socket work off the streaming thread)."""
         from .jax_engine import L_MAX, MAX_INTERVALS
 
+        reads = [
+            (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
+            for f in records
+        ]
+        with profiling.phase("pass1.pack_prepare"):
+            arena, off, lens = bhost.pack_reads(reads)
+            s2c, fw_ws, rc_ws, fw_ivg, rc_ivg, flags = bhost.prepare(
+                arena, off, lens, L_MAX, MAX_INTERVALS
+            )
+        with profiling.phase("pass1.dispatch"):
+            handle = scorer.dispatch_packed(
+                s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags
+            )
+        return records, handle, (arena, off[:-1], lens, fw_ivg, rc_ivg, flags)
+
+    def _inflight_ready(fut) -> bool:
+        return fut.done() and type(scorer).ready(fut.result()[1])
+
+    def flush_pending(final: bool = False) -> None:
         if pending:
             records = pending[:]
             pending.clear()
-            reads = [
-                (f.seq[: f.trim_point + 1] if f.trimmed else f.seq[: f.seq_len])
-                for f in records
-            ]
-            with profiling.phase("pass1.pack_prepare"):
-                arena, off, lens = bhost.pack_reads(reads)
-                s2c, fw_ws, rc_ws, fw_ivg, rc_ivg, flags = bhost.prepare(
-                    arena, off, lens, L_MAX, MAX_INTERVALS
-                )
-            with profiling.phase("pass1.dispatch"):
-                handle = scorer.dispatch_packed(
-                    s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags
-                )
-            inflight.append(
-                (records, handle, (arena, off[:-1], lens, fw_ivg, rc_ivg, flags))
-            )
+            inflight.append(prep_pool.submit(_prepare_dispatch, records))
         # drain in read order: everything whose result already landed, plus
         # enough to respect the inflight cap (bounds host-side batch buffers)
         while inflight and (
             final
             or len(inflight) > MAX_INFLIGHT
-            or type(scorer).ready(inflight[0][1])
+            or _inflight_ready(inflight[0])
         ):
             finishing.append(_start_drain())
             while len(finishing) > 1:
@@ -599,6 +609,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             _flush_native()
         flush_pending(final=True)
         finish_pool.shutdown(wait=True)
+        prep_pool.shutdown(wait=True)
     if bhost is not None:
         bhost.close()
     profiling.count("pass1.reads_seen", seen)

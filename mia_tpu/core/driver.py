@@ -595,7 +595,11 @@ def reiterate_assembly(
         with ThreadPoolExecutor(1) as fin_pool:
             futs: list = []
             for chunk, handle, arena, off, lens, ws, los, his, smidx in dev_handles:
+                _tc = __import__("time").time()
                 best, aecl = scorer.collect_entries(handle)
+                profiling.add_time(
+                    "reiterate.drain_collect", __import__("time").time() - _tc
+                )
                 futs.append(
                     fin_pool.submit(
                         _finish_chunk,

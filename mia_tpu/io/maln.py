@@ -64,11 +64,18 @@ def header_lines(
 def write_ma(path: str, maln: MapAlignment, *, timestamp: float | None = None) -> None:
     """Serialize ``maln`` exactly as the reference's write_ma
     (src/map_alignment.c:283-382)."""
-    lines = header_lines(maln, timestamp=timestamp)
-    for a in maln.aln_seqs:
-        lines.extend(alnseq_lines(a))
     with open(path, "w") as fh:
-        fh.write("\n".join(lines) + "\n")
+        # blocked writes: byte-identical to one giant join, without
+        # materialising a ~60 MB line list (page-fault surface, see
+        # utils/hostmem.py)
+        buf = header_lines(maln, timestamp=timestamp)
+        for a in maln.aln_seqs:
+            buf.extend(alnseq_lines(a))
+            if len(buf) >= 65536:
+                fh.write("\n".join(buf) + "\n")
+                buf.clear()
+        if buf:
+            fh.write("\n".join(buf) + "\n")
 
 
 def alnseq_lines(a) -> list[str]:
