@@ -61,7 +61,20 @@ def _dp_kernel(
     # masks stay int32 throughout: Mosaic cannot shift/pad i1 vectors
     mask_i = mask_ref[...]
     mask = mask_i != 0
-    lengths = lengths_ref[...]  # [BB,1]
+    lengths1 = lengths_ref[...] - 1  # [BB,1]
+
+    # ---- loop invariants (hoisted: the row loop runs up to L times) ------
+    # s1c equality planes for the 5-way substitution select
+    eq = [s1c == i for i in range(5)]
+    gep_cols = GEP * cols
+    # gap_col subtracts GOP + GEP*(c-1) from the twice-shifted running max
+    gcost = GOP + gep_cols - GEP
+    # scan input mask: candidate origins are masked cols shifted by 2, plus
+    # col 0 (the reference seeds the scan there, src/mia.c:838-847)
+    mask2_i = jnp.pad(mask_i[:, 2:], ((0, 0), (0, 2)))
+    cand_ok = (mask2_i != 0) | (cols == 0)
+    upd_mask = jnp.pad(mask_i[:, 1:], ((0, 0), (0, 1))) != 0
+    is_col0 = cols == 0
 
     def cell_sub_for(row):
         # row_sm[row, b, s1c[b, w]] as five masked selects (VPU-friendly
@@ -70,47 +83,45 @@ def _dp_kernel(
         sm_row = row_sm_ref[row]  # [BB, 5]
         acc = jnp.zeros((BB, W), jnp.int32)
         for i in range(5):
-            v = sm_row[:, i][:, None]  # [BB,1]
-            acc = jnp.where(s1c == i, v, acc)
+            acc = jnp.where(eq[i], sm_row[:, i][:, None], acc)
         return acc
 
     row0 = jnp.where(mask, cell_sub_for(0), jnp.int32(HIM))
-    upd_mask_i = jnp.pad(mask_i[:, 1:], ((0, 0), (0, 1)))
-    mask2_i = jnp.pad(mask_i[:, 2:], ((0, 0), (0, 2)))
 
     def body(row, carry):
         prev, prev2, rbest, snap = carry
         cell_sub = cell_sub_for(row)
         sg5_pen = (GOP + GEP * (row + 1)) if sg5 else 0
 
-        m = prev + GEP * cols
-        cand = jnp.where(mask2_i != 0, m, _LOW)
-        cand = jnp.where(cols == 0, m, cand)
+        m = prev + gep_cols
+        cand = jnp.where(cand_ok, m, _LOW)
         run_max = _prefix_max_lanes(cand, W)
-        # gap_col[c] = run_max[c-2] - GOP - GEP*(c-1)
+        # gap_col[c] = run_max[c-2] - GOP - GEP*(c-1); the pad's _LOW keeps
+        # cols < 2 out of contention (never within 2^28 of a live score)
         rm2 = jnp.pad(run_max, ((0, 0), (2, 0)), constant_values=_LOW)[:, :W]
-        gap_col = jnp.where(cols >= 2, rm2 - GOP - GEP * (cols - 1), jnp.int32(HIM))
+        gap_col = rm2 - gcost
 
         cand_r = prev2 + GEP * (row - 2)
-        rbest = jnp.where(
-            (row >= 2) & (upd_mask_i != 0) & (cand_r > rbest), cand_r, rbest
-        )
+        rbest = jnp.where((row >= 2) & upd_mask & (cand_r > rbest), cand_r, rbest)
+        # row < 2: push gap_row out of contention via the scalar penalty
+        # (2^28 below any live score, no int32 overflow: HIM - 2^28 > -2^31)
+        grow_pen = jnp.where(row >= 2, GOP + GEP * (row - 1), jnp.int32(2**28))
         rb1 = jnp.pad(rbest, ((0, 0), (1, 0)), constant_values=_LOW)[:, :W]
-        gap_row = jnp.where(
-            (row >= 2) & (cols >= 1), rb1 - GOP - GEP * (row - 1), jnp.int32(HIM)
-        )
+        gap_row = rb1 - grow_pen
 
         diag = jnp.pad(prev, ((0, 0), (1, 0)), constant_values=_LOW)[:, :W]
         start_new = jnp.int32(-sg5_pen)
 
-        is_start = (start_new > diag) & (start_new > gap_col) & (start_new > gap_row)
-        is_diag = (diag >= gap_col) & (diag >= gap_row)
-        base = jnp.where(is_diag, diag, jnp.maximum(gap_col, gap_row))
-        new_row = jnp.where(is_start, start_new, cell_sub + base)
-        new_row = jnp.where(cols == 0, cell_sub - sg5_pen, new_row)
+        # value semantics only (no traces here): the reference's priority
+        # chain restart > diag > col-gap > row-gap (src/mia.c:910-965)
+        # reduces to one max — is_start == start_new > max(all three), and
+        # base == max(all three) whichever branch of is_diag wins
+        base = jnp.maximum(jnp.maximum(gap_col, gap_row), diag)
+        new_row = jnp.where(start_new > base, start_new, cell_sub + base)
+        new_row = jnp.where(is_col0, cell_sub - sg5_pen, new_row)
         new_row = jnp.where(mask, new_row, jnp.int32(HIM))
 
-        snap = jnp.where(lengths - 1 == row, new_row, snap)
+        snap = jnp.where(lengths1 == row, new_row, snap)
         return new_row, prev, rbest, snap
 
     row_hi = maxlen_ref[pl.program_id(0)]  # dynamic: rows 1..maxlen-1 only
