@@ -708,10 +708,34 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         if cfg.make_fastq:
             write_fastq(cfg.fastq_out_fn, fsdb)
 
+    # device consensus accumulation (SURVEY §2 native->TPU item 4): under a
+    # mesh the in-process psum path; under the device engine the resident
+    # server; integer scatter-adds make either bit-equal to the host
+    # accumulator, and any failure falls back per call
+    cons_hook = None
+    if mesh is not None:
+        import functools as _ft
+
+        from ..ops.consensus_device import device_column_counts
+
+        cons_hook = _ft.partial(device_column_counts, mesh=mesh)
+    elif cfg.engine == "jax" and scorer is not None:
+        from ..serve import ServerScorer, connect_consensus
+
+        if isinstance(scorer, ServerScorer):
+            cons_hook = connect_consensus()
+        else:
+            # in-process device runtime already live (e.g. MIA_TPU_STEAL=0)
+            from ..ops.consensus_device import device_column_counts
+
+            cons_hook = device_column_counts
+
     if cfg.iterate:
         _log("Generating new assembly consensus")
         with profiling.phase("consensus"):
-            assembly_cons = consensus_assembly_string(culled, reduce_cc=reduce_cc)
+            assembly_cons = consensus_assembly_string(
+                culled, reduce_cc=reduce_cc, device_hook=cons_hook
+            )
 
         def _unconverged() -> bool:
             eq = assembly_cons == last_assembly_cons
@@ -741,7 +765,9 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 _log(f"Writing maln file for iteration {iter_num}")
                 _write_maln(maln_fn)
             with profiling.phase("consensus"):
-                assembly_cons = consensus_assembly_string(culled, reduce_cc=reduce_cc)
+                assembly_cons = consensus_assembly_string(
+                    culled, reduce_cc=reduce_cc, device_hook=cons_hook
+                )
 
         if assembly_cons == last_assembly_cons:
             _log("Assembly convergence - writing final maln")

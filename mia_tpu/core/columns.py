@@ -14,18 +14,9 @@ from ..ops.consensus import ColumnCounts, find_consensus_cols
 from .types import MapAlignment
 
 
-def main_column_counts(maln: MapAlignment, exclude_dropped: bool) -> ColumnCounts:
-    """Accumulate BaseCounts for every reference column in one pass.
-
-    ``exclude_dropped`` mirrors the difference between mia's consensus
-    (skips dropped reads, src/mia.c:580-582) and ma's (does not,
-    src/map_alignment.c:154-168).
-    """
-    n = maln.ref.seq_len
-    cc = ColumnCounts(n)
-    # one arena pass instead of a per-read python loop: the accumulation is
-    # O(total aligned bases) flat numpy (the reference rescans every read per
-    # column, O(ref_len * reads), src/mia.c:551-599)
+def _record_arrays(maln: MapAlignment, exclude_dropped: bool):
+    """Arena-layout arrays of the live records (shared by the host and
+    device accumulators); None when there are no records."""
     recs = [
         a
         for a in maln.aln_seqs
@@ -33,7 +24,7 @@ def main_column_counts(maln: MapAlignment, exclude_dropped: bool) -> ColumnCount
         and min(a.end - a.start + 1, len(a.seq), len(a.smp)) > 0
     ]
     if not recs:
-        return cc
+        return None
     # int32 throughout: at ~30 us/page first-touch on this host (see
     # utils/hostmem.py) the index arrays' memory footprint IS the cost
     spans = np.fromiter(
@@ -53,6 +44,48 @@ def main_column_counts(maln: MapAlignment, exclude_dropped: bool) -> ColumnCount
     smp_lens = np.fromiter((len(a.smp) for a in recs), np.int32, len(recs))
     seq_off = np.concatenate(([0], np.cumsum(seq_lens, dtype=np.int32)[:-1]))
     smp_off = np.concatenate(([0], np.cumsum(smp_lens, dtype=np.int32)[:-1]))
+    return recs, spans, starts, revs, seq_arena, smp_arena, seq_off, smp_off
+
+
+def main_column_counts(
+    maln: MapAlignment, exclude_dropped: bool, device_hook=None
+) -> ColumnCounts:
+    """Accumulate BaseCounts for every reference column in one pass (the
+    reference rescans every read per column, O(ref_len * reads),
+    src/mia.c:551-599; here it is O(total aligned bases)).
+
+    ``exclude_dropped`` mirrors the difference between mia's consensus
+    (skips dropped reads, src/mia.c:580-582) and ma's (does not,
+    src/map_alignment.c:154-168).
+
+    ``device_hook(seq, smp, starts, spans, seq_off, smp_off, revs, fpsm,
+    rpsm, n) -> (counts, cov, scores)`` runs the accumulation on the TPU
+    (ops/consensus_device.py, via the resident server or an in-process
+    mesh); integer scatter-adds are order-independent so the device result
+    is bit-equal, and any failure falls back to the host path.
+    """
+    n = maln.ref.seq_len
+    cc = ColumnCounts(n)
+    arrays = _record_arrays(maln, exclude_dropped)
+    if arrays is None:
+        return cc
+    recs, spans, starts, revs, seq_arena, smp_arena, seq_off, smp_off = arrays
+    if device_hook is not None:
+        from ..utils import profiling
+
+        try:
+            with profiling.phase("consensus.device_counts"):
+                counts, cov, scores = device_hook(
+                    seq_arena, smp_arena, starts, spans, seq_off, smp_off,
+                    revs, maln.fpsm, maln.rpsm, n,
+                )
+            cc.counts = counts
+            cc.cov = cov
+            cc.scores = scores
+            profiling.count("consensus.device_calls")
+            return cc
+        except Exception:
+            profiling.count("consensus.device_fallbacks")
 
     # chunk the flattened observation stream: the peak temp footprint stays
     # ~CHUNK elements, so its pages fault once and are reused by every later
@@ -151,7 +184,9 @@ def find_ins_cons(maln: MapAlignment, pos: int, reduce_cc=None):
     return chars, cc, frac
 
 
-def consensus_assembly_string(maln: MapAlignment, reduce_cc=None) -> str:
+def consensus_assembly_string(
+    maln: MapAlignment, reduce_cc=None, device_hook=None
+) -> str:
     """Next-iteration reference from the culled maln
     (consensus_assembly_string, src/mia.c:508-603): gap/space calls are
     dropped; dropped reads are excluded from main columns but not from
@@ -164,7 +199,7 @@ def consensus_assembly_string(maln: MapAlignment, reduce_cc=None) -> str:
     from ..utils import profiling
 
     with profiling.phase("consensus.main_counts"):
-        cc = main_column_counts(maln, exclude_dropped=True)
+        cc = main_column_counts(maln, exclude_dropped=True, device_hook=device_hook)
     if reduce_cc is not None:
         cc = reduce_cc(cc)
     cons_chars, _ = find_consensus_cols(cc, maln.cons_code)

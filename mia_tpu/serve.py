@@ -215,6 +215,18 @@ class Server:
                 sc, h = self._handles.pop(req["hid"])
             best, aec = sc.collect_entries(h)
             return {"best": best, "aec": aec}
+        if op == "consensus":
+            # device consensus accumulation (ops/consensus_device.py): the
+            # column-counts scatter-add runs on the chip; bit-equal to the
+            # host accumulators, so the client uses it as a drop-in
+            from .ops.consensus_device import device_column_counts
+
+            counts, cov, scores = device_column_counts(
+                req["seq"], req["smp"], req["starts"], req["spans"],
+                req["seq_off"], req["smp_off"], req["revs"],
+                req["fpsm"], req["rpsm"], int(req["n"]),
+            )
+            return {"counts": counts, "cov": cov, "scores": scores}
         if op == "free":
             return {}
         raise ValueError(f"unknown op {op!r}")
@@ -349,6 +361,68 @@ class ServerScorer:
             self._conn.close()
         except OSError:
             pass
+
+
+class _ConsensusClient:
+    """One persistent connection shipping consensus accumulations to the
+    resident server (columns.main_column_counts device_hook surface)."""
+
+    def __init__(self, path: str):
+        self._conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._conn.settimeout(5.0)
+        self._conn.connect(path)
+        self._conn.settimeout(600.0)
+        self._lock = threading.Lock()
+
+    def __call__(
+        self, seq, smp, starts, spans, seq_off, smp_off, revs, fpsm, rpsm, n
+    ):
+        req = {
+            "op": "consensus",
+            "seq": np.ascontiguousarray(seq, np.uint8),
+            "smp": np.ascontiguousarray(smp, np.uint8),
+            "starts": np.ascontiguousarray(starts, np.int32),
+            "spans": np.ascontiguousarray(spans, np.int32),
+            "seq_off": np.ascontiguousarray(seq_off, np.int32),
+            "smp_off": np.ascontiguousarray(smp_off, np.int32),
+            "revs": np.ascontiguousarray(revs, np.int8),
+            "fpsm": np.ascontiguousarray(fpsm, np.int32),
+            "rpsm": np.ascontiguousarray(rpsm, np.int32),
+            "n": int(n),
+        }
+        with self._lock:
+            _send(self._conn, req)
+            status, payload = _recv(self._conn)
+        if status != "ok":
+            raise RuntimeError(f"server error: {payload}")
+        return (
+            payload["counts"].astype(np.int64),
+            payload["cov"].astype(np.int64),
+            payload["scores"].astype(np.int64),
+        )
+
+    def close(self) -> None:
+        try:
+            self._conn.close()
+        except OSError:
+            pass
+
+
+def connect_consensus(path: str | None = None) -> "_ConsensusClient | None":
+    """Device-consensus hook bound to a reachable server, else None (callers
+    fall back to the host accumulator)."""
+    policy = os.environ.get("MIA_TPU_SERVER", "auto")
+    if policy == "0":
+        return None
+    p = policy if policy not in ("", "auto", "spawn") else sock_path()
+    if path is not None:
+        p = path
+    if not os.path.exists(p):
+        return None
+    try:
+        return _ConsensusClient(p)
+    except Exception:
+        return None
 
 
 def connect_scorer(*args, **kwargs) -> "ServerScorer | None":

@@ -180,3 +180,49 @@ def test_mesh_scorer_after_warm_plain_scorer():
     b1, a1 = plain.collect_entries(plain.dispatch_entries(*args))
     np.testing.assert_array_equal(b1, b2)
     np.testing.assert_array_equal(a1, a2)
+
+
+def test_device_consensus_counts_bit_equal_host():
+    """ops/consensus_device accumulation == host ColumnCounts.add_bases over
+    the same record set, single-device and dp-mesh (psum) variants."""
+    import jax
+    from jax.sharding import Mesh
+
+    from mia_tpu.core.columns import _record_arrays, main_column_counts
+    from mia_tpu.core.types import AlnSeq, MapAlignment
+    from mia_tpu.ops.consensus_device import device_column_counts
+    from mia_tpu.ops.pssm import init_flatsubmat, revcom_submat
+
+    rng = np.random.default_rng(5)
+    n = 300
+    maln = MapAlignment()
+    maln.ref.seq_len = n
+    maln.fpsm = init_flatsubmat().astype(np.int64)
+    maln.rpsm = revcom_submat(maln.fpsm)
+    recs = []
+    for i in range(400):
+        ln = int(rng.integers(5, 60))
+        start = int(rng.integers(-5, n - 5))  # some out-of-range columns
+        seq = "".join(rng.choice(list("ACGT-N"), ln))
+        smp = "".join(chr(ord("A") + int(d)) for d in rng.integers(0, 31, ln))
+        recs.append(
+            AlnSeq(
+                id=f"r{i}", seq=seq, smp=smp, start=start,
+                end=start + ln - 1, revcom=bool(rng.integers(0, 2)),
+                dropped=bool(rng.random() < 0.1),
+            )
+        )
+    maln.set_aln_seqs(recs)
+
+    host = main_column_counts(maln, exclude_dropped=True)
+    arrays = _record_arrays(maln, exclude_dropped=True)
+    _, spans, starts, revs, seq_a, smp_a, seq_off, smp_off = arrays
+
+    for mesh in (None, Mesh(np.array(jax.devices()[:4]), ("dp",))):
+        counts, cov, scores = device_column_counts(
+            seq_a, smp_a, starts, spans, seq_off, smp_off, revs,
+            maln.fpsm, maln.rpsm, n, mesh=mesh,
+        )
+        np.testing.assert_array_equal(counts, host.counts)
+        np.testing.assert_array_equal(cov, host.cov)
+        np.testing.assert_array_equal(scores, host.scores)
