@@ -66,12 +66,14 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     from ..parallel import distributed as dist
 
     multi = dist.initialize_if_needed()
-    gf = dist.GlobalReadFilter() if multi else None
+    # -C / -q need sequence content globally (duplicate groups span hosts;
+    # the fastq export is one global file): full stubs mirror id/seq/qual
+    gf = (
+        dist.GlobalReadFilter(full=cfg.collapse or cfg.make_fastq)
+        if multi
+        else None
+    )
     reduce_cc = dist.reduce_column_counts if multi else None
-    if multi and cfg.collapse:
-        raise RuntimeError("read collapsing (-C) is not supported multi-host")
-    if multi and cfg.make_fastq:
-        raise RuntimeError("-q fastq export is not supported multi-host")
     if cfg.submat_fn:
         ancsubmat = find_read_pssm(cfg.submat_fn)
     else:
@@ -150,13 +152,11 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     # engine selection for pass 1:
     #   "native" (default) — fully-native batched solver (k-mer filter +
     #       banded fw/rc DP + traceback in one threaded FFI call per batch)
-    #   "jax"    — score batches on the TPU, traceback on host
+    #   "jax"    — score batches on the TPU, traceback on host; -h scores
+    #       with the homopolymer device program (dp_jax.batch_last_row_hp)
     #   "numpy"  — exact per-read host path
-    # -h homopolymer scoring runs in the native engine (the hp recurrence
-    # lives in mia_dp_fill); --engine jax -h uses the native solver for
-    # scoring until the device kernels grow the hp variant
-    use_jax = cfg.engine == "jax" and not cfg.hp_special
-    use_native = cfg.engine == "native" or (cfg.engine == "jax" and cfg.hp_special)
+    use_jax = cfg.engine == "jax"
+    use_native = cfg.engine == "native"
     scorer = None
     bhost = None
     pending: list = []
@@ -189,6 +189,17 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         from .jax_engine import Pass1Scorer, make_dp_mesh
 
         mesh = make_dp_mesh(cfg.dp_devices)
+        # -h: the hp device program needs the raw strand strings for the
+        # reference homopolymer-run arrays (src/mia.c:883-905); it has no
+        # mesh variant, so dp-sharded -h runs stay on the native engine
+        hp_seqs = None
+        if cfg.hp_special:
+            if mesh is not None:
+                mesh = None
+            hp_seqs = (
+                fw_align.seq1[: fw_align.len1],
+                rc_align.seq1[: rc_align.len1],
+            )
         scorer = None
         if mesh is None:
             # resident scoring server (mia_tpu.serve): skips this process's
@@ -196,7 +207,8 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             from ..serve import connect_scorer
 
             scorer = connect_scorer(
-                fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat
+                fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat,
+                hp_seqs=hp_seqs,
             )
             if scorer is not None:
                 profiling.count("pass1.using_server")
@@ -216,7 +228,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             # the read streaming below instead of blocking before it
             scorer = Pass1Scorer(
                 fw_align.s1c, rc_align.s1c, fw_align.len1, ancsubmat, mesh=mesh,
-                defer=True,
+                defer=True, hp_seqs=hp_seqs,
             )
 
     # asynchronous device pipeline: batches dispatch without blocking and
@@ -515,6 +527,21 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             s2c, fw_ws, rc_ws, fw_ivg, rc_ivg, flags = bhost.prepare(
                 arena, off, lens, L_MAX, MAX_INTERVALS
             )
+        if getattr(scorer, "hp", False):
+            from .hostbatch import FLAG_HOST_ONLY
+            from .jax_engine import HPW_ROUTE, pack_chars
+
+            # hp device program keeps an HPW-deep ring of previous score
+            # rows: reads containing a homopolymer run of >= HPW bases
+            # (vanishingly rare) stay on the exact host path
+            for i, r in enumerate(reads):
+                if lens[i] >= HPW_ROUTE:
+                    b = np.frombuffer(r.encode("latin-1"), np.uint8)
+                    brk = np.flatnonzero(np.diff(b) != 0)
+                    runs = np.diff(np.concatenate(([-1], brk, [len(b) - 1])))
+                    if runs.max() >= HPW_ROUTE:
+                        flags[i] |= FLAG_HOST_ONLY
+            s2c = pack_chars(arena, off[:-1], lens)
         with profiling.phase("pass1.dispatch"):
             handle = scorer.dispatch_packed(
                 s2c, lens, fw_ws, rc_ws, fw_ivg, rc_ivg, flags
@@ -546,10 +573,13 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     t_pass1 = time.time()
     if multi:
         # contiguous per-host slice of the stream; gids keep the global
-        # stream order observable for the global filter replay
-        all_records = list(iter_frag_seqs(cfg.frag_fn))
-        shard = dist.host_read_shard(len(all_records))
-        stream = all_records[shard.start : shard.start + shard.count]
+        # stream order observable for the global filter replay.  The count
+        # pass is native (no python objects) and each host materialises
+        # ONLY its slice (per-host memory scales 1/n_hosts).
+        from ..io.native import count_frag_seqs, iter_frag_seqs_range
+
+        shard = dist.host_read_shard(count_frag_seqs(cfg.frag_fn))
+        stream = iter_frag_seqs_range(cfg.frag_fn, shard.start, shard.count)
         gid0 = shard.start
     else:
         stream = iter_frag_seqs(cfg.frag_fn)
@@ -633,7 +663,6 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     else:
         culled.size = maln.num_aln_seqs
 
-    record_keys: list = []  # multi-host: global-order keys of culled records
 
     def _filter_and_cull() -> None:
         """Repeat filters + score cull — globally replayed when multi-host
@@ -642,6 +671,7 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         _log("Repeat and score filtering")
         if multi:
             gf.refresh(fsdb)
+            gf.assign_slots()  # global maln slot layout BEFORE the sorts
         if cfg.repeat_filt:
             sort_fsdb(fsdb)
             if multi:
@@ -669,16 +699,31 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         culled.rpsm = rcancsubmat
         sort_aln_frags(culled)
         if multi:
-            # AFTER the stable (start,end) sort: keys are looked up by record
-            # identity so equal-(start,end) records keep their owner's global
-            # sort position (a positional zip against the pre-sort picked
-            # order would attach wrong tie-break keys)
-            record_keys[:] = dist.culled_record_keys(fsdb, gf.sort_pos(), culled)
+            # global slot-dropped replay: the reference's DR bit is sticky
+            # per REUSED maln slot; override the local (host-sharded) stale
+            # flags with the single-process bits so consensus and the
+            # writer see exactly what one process would
+            drops = gf.cull_drops(
+                cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept,
+                culled.distant_ref, maln.ref,
+            )
+            sp = gf.sort_pos()
+            for fs in fsdb.fss:
+                if not fs.unique_best:
+                    continue
+                p = sp[fs.gid]
+                if (p, 0) in drops:
+                    fs.front_asp.dropped = drops[(p, 0)]
+                if fs.back_asp is not None and (p, 1) in drops:
+                    fs.back_asp.dropped = drops[(p, 1)]
+            # records freshly merged under this layout enter the global
+            # slot->content map (collective; see write_ma_global)
+            gf.snapshot_fresh(fsdb)
 
     def _write_maln(fn: str) -> None:
         with profiling.phase("io.write_maln"):
             if multi:
-                dist.write_ma_global(fn, culled, record_keys, culled.size)
+                dist.write_ma_global(fn, culled, gf, fsdb, culled.size)
             else:
                 write_ma(fn, culled)
 
@@ -692,8 +737,15 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
 
     fw_align.align_mask[: fw_align.len1] = 1
     clean_FSDB(fsdb)
+    if multi:
+        gf.clean()
     if cfg.collapse:
-        collapse_FSDB(fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept)
+        if multi:
+            gf.collapse(fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope,
+                        cfg.intercept)
+        else:
+            collapse_FSDB(fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope,
+                          cfg.intercept)
 
     with profiling.phase("reiterate"):
         reiterate_assembly(
@@ -706,7 +758,10 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
     if not cfg.iterate or not cfg.final_only:
         _write_maln(maln_fn)
         if cfg.make_fastq:
-            write_fastq(cfg.fastq_out_fn, fsdb)
+            if multi:
+                gf.write_fastq_host0(cfg.fastq_out_fn)
+            else:
+                write_fastq(cfg.fastq_out_fn, fsdb)
 
     # device consensus accumulation (SURVEY §2 native->TPU item 4): under a
     # mesh the in-process psum path; under the device engine the resident
@@ -749,9 +804,16 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             _log(f"Starting assembly iteration {iter_num}")
 
             if cfg.collapse:
-                collapse_FSDB(
-                    fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope, cfg.intercept
-                )
+                if multi:
+                    gf.collapse(
+                        fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope,
+                        cfg.intercept,
+                    )
+                else:
+                    collapse_FSDB(
+                        fsdb, cfg.hard_cut, cfg.score_cut_set, cfg.slope,
+                        cfg.intercept,
+                    )
             with profiling.phase("reiterate"):
                 reiterate_assembly(
                     assembly_cons, iter_num, maln, fsdb, fw_align, ancsubmat,
@@ -777,6 +839,9 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         if cfg.final_only:
             _write_maln(maln_fn)
         if cfg.make_fastq:
-            write_fastq(cfg.fastq_out_fn, fsdb)
+            if multi:
+                gf.write_fastq_host0(cfg.fastq_out_fn)
+            else:
+                write_fastq(cfg.fastq_out_fn, fsdb)
 
     return culled

@@ -106,6 +106,12 @@ def sg_align(
     score-verified window) for traceback; otherwise both strands run here."""
     rs = maln.ref
     length = fs.trim_point + 1 if fs.trimmed else fs.seq_len
+    if length <= 0:
+        # adapter trimming consumed the whole read: the reference runs a
+        # len2=0 DP here and emits uninitialised-memory garbage
+        # (src/mia.c:1514-1543 with trim_point == -1); we define such reads
+        # as unalignable and skip them
+        return True
     set_seq2(fw_a, fs.seq, length)
     set_seq2(rc_a, fs.seq, length)
     if fw_a.hp:
@@ -193,9 +199,11 @@ def finish_alignment(
             back = split_pwaln(front, rs.seq_len)
             fs.front_asp = merge_pwaln_into_maln(front, maln)
             fs.back_asp = merge_pwaln_into_maln(back, maln)
+            fs.back_fresh = True
         else:
             fs.front_asp = merge_pwaln_into_maln(front, maln)
             fs.back_asp = None
+            fs.back_fresh = False
         fs.unique_best = True
         fs.num_inputs = 1
         fs.strand_known = fs.score > FIRST_ROUND_SCORE_CUTOFF
@@ -327,7 +335,9 @@ def reiterate_assembly(
             back = split_pwaln(front, ref.seq_len)
             fs.front_asp = merge_pwaln_into_maln(front, maln)
             fs.back_asp = merge_pwaln_into_maln(back, maln)
+            fs.back_fresh = True
         else:
+            fs.back_fresh = False
             fs.front_asp = merge_pwaln_into_maln(front, maln)
             # reference quirk: reiterate does NOT clear back_asp here
             # (src/mia_main.c:273-276, unlike sg_align's else branch), so
@@ -429,13 +439,20 @@ def reiterate_assembly(
         wide: list = []
         device: list = []
         scorer = None
-        if engine == "jax" and not a.hp:
+        if engine == "jax" and not (a.hp and mesh is not None):
             import os
 
             from ..utils.encoding import encode_seq
             from .jax_engine import Pass1Scorer, WIN_W, L_MAX
 
             steal = os.environ.get("MIA_TPU_STEAL", "1") != "0"
+            # -h: window scoring uses the hp device program against the new
+            # consensus (reads realign on the fw strand; smidx picks the
+            # PSSM, so both hp slots carry the fw consensus runs)
+            hp_seqs = None
+            if a.hp:
+                s_fw = ref.seq[: ref.wrap_seq_len]
+                hp_seqs = (s_fw, s_fw)
             try:
                 from . import jax_engine as je
 
@@ -444,7 +461,8 @@ def reiterate_assembly(
                     from ..serve import connect_scorer
 
                     scorer = connect_scorer(
-                        enc, enc, ref.wrap_seq_len, ancsubmat, rcancsubmat
+                        enc, enc, ref.wrap_seq_len, ancsubmat, rcancsubmat,
+                        hp_seqs=hp_seqs,
                     )
                     if (
                         scorer is not None
@@ -467,9 +485,24 @@ def reiterate_assembly(
                         rcancsubmat,
                         mesh=mesh,
                         warm=False,
+                        hp_seqs=hp_seqs,
                     )
             except Exception:
                 scorer = None  # no usable device: all-native realign
+        hp_route = None
+        if a.hp and scorer is not None:
+            from .jax_engine import HPW_ROUTE
+
+            def hp_route(fs):
+                """True when the read's longest homopolymer run exceeds the
+                device ring: exact host path instead."""
+                if len(fs.seq) < HPW_ROUTE:
+                    return False
+                b = np.frombuffer(fs.seq.encode("latin-1"), np.uint8)
+                brk = np.flatnonzero(np.diff(b) != 0)
+                runs = np.diff(np.concatenate(([-1], brk, [len(b) - 1])))
+                return int(runs.max()) >= HPW_ROUTE
+
         for fs in fsdb.fss:
             if not fs.strand_known:
                 continue
@@ -482,6 +515,7 @@ def reiterate_assembly(
                 scorer is not None
                 and hi - max(lo - 2, 0) <= WIN_W
                 and len2 <= L_MAX
+                and not (hp_route is not None and hp_route(fs))
             ):
                 device.append(job)
             else:
@@ -508,7 +542,12 @@ def reiterate_assembly(
                 smidx = np.fromiter(
                     (1 if fs.rc else 0 for fs, _, _ in chunk), np.int8, m
                 )
-                s2c = pack_s2c(arena, off[:-1], lens)
+                if getattr(scorer, "hp", False):
+                    from .jax_engine import pack_chars
+
+                    s2c = pack_chars(arena, off[:-1], lens)
+                else:
+                    s2c = pack_s2c(arena, off[:-1], lens)
                 handle = scorer.dispatch_entries(
                     np.zeros(m, np.int8), ws, ivl, s2c, lens, smidx
                 )

@@ -52,6 +52,10 @@ from ..constants import GEP, INIT_ALN_SEQ_LEN, PSSM_DEPTH
 from ..ops.dp_numpy import Alignment
 from ..utils.encoding import encode_seq
 
+# route-to-host threshold for the hp device program's ring depth (must
+# match ops.dp_jax.HPW without importing jax at module load)
+HPW_ROUTE = 32
+
 SCORE_BATCH = 8192           # reads per pass-1 batch (2 entries each)
 
 
@@ -186,6 +190,16 @@ def pack_s2c(arena: bytes, off: np.ndarray, lens: np.ndarray, L: int = L_MAX) ->
     return np.where(valid, BASE2INX[buf[idx]], 4).astype(np.int8)
 
 
+def pack_chars(arena: bytes, off: np.ndarray, lens: np.ndarray, L: int = L_MAX) -> np.ndarray:
+    """[n, L] uint8 raw read chars from a packed read arena (pad 0) — the
+    hp device program's input form."""
+    buf = np.frombuffer(arena, np.uint8)
+    cols = np.arange(L, dtype=np.int64)[None, :]
+    idx = np.minimum(off[:, None] + cols, max(len(buf) - 1, 0))
+    valid = cols < lens[:, None]
+    return np.where(valid, buf[idx], 0).astype(np.uint8)
+
+
 def device_depths(lengths, L: int):
     """PSSM depth slot per (entry, row), on device (find_sm_depth,
     src/pssm.c:36-46; identical to ops.dp_jax.depths_for)."""
@@ -252,6 +266,72 @@ def _entries_core(refs, ref_sel, starts, ivl, s2c, lengths, smidx, maxlens, sms,
     aec = jnp.argmax(last, axis=1).astype(jnp.int32)
     best = jnp.take_along_axis(last, aec[:, None], axis=1)[:, 0]
     return jnp.stack([best, aec])  # [2, E]
+
+
+def _entries_core_hp(refs, refchr, hpcs_g, b2i, pengop, ref_sel, starts, ivl,
+                     s2chr, lengths, smidx, sms):
+    """Homopolymer (-h) variant of :func:`_entries_core`: reads ship as raw
+    chars (the hp conditions need char equality, src/mia.c:885), codes and
+    read-run arrays derive on device, and the scorer is
+    :func:`mia_tpu.ops.dp_jax.batch_last_row_hp` (reference hp recurrence
+    src/mia.c:883-905 with the truncated discount table precomputed on
+    host, src/map_align.c:1096-1135)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ..ops.dp_jax import batch_last_row_hp
+
+    WTOT = refs.shape[1]
+    idx = (
+        ref_sel.astype(jnp.int32)[:, None] * WTOT
+        + starts.astype(jnp.int32)[:, None]
+        + lax.iota(jnp.int32, WIN_W)[None, :]
+    )
+    wins = refs.reshape(-1)[idx].astype(jnp.int32)
+    winchr = refchr.reshape(-1)[idx].astype(jnp.int32)
+    winhpcs = hpcs_g.reshape(-1)[idx].astype(jnp.int32)
+    cols = lax.iota(jnp.int32, WIN_W)[None, None, :]
+    ivl32 = ivl.astype(jnp.int32)
+    maskw = (
+        (cols >= ivl32[:, :, 0][:, :, None]) & (cols < ivl32[:, :, 1][:, :, None])
+    ).any(axis=1)
+    s2chr32 = s2chr.astype(jnp.int32)
+    s2c32 = b2i[jnp.clip(s2chr32, 0, 255)].astype(jnp.int32)
+    depths = device_depths(lengths, s2c32.shape[1])
+    sm_t = jnp.transpose(sms, (0, 1, 3, 2))
+    row_sm = sm_t[smidx.astype(jnp.int32)[:, None], depths, s2c32]
+    last = batch_last_row_hp(
+        wins, winchr, maskw, row_sm, lengths, s2chr32, winhpcs,
+        starts.astype(jnp.int32), pengop, sg5=True,
+    )
+    aec = jnp.argmax(last, axis=1).astype(jnp.int32)
+    best = jnp.take_along_axis(last, aec[:, None], axis=1)[:, 0]
+    return jnp.stack([best, aec])
+
+
+@functools.lru_cache(maxsize=None)
+def _plain_fn_hp():
+    import jax
+
+    @jax.jit
+    def fn(refs, refchr, hpcs_g, b2i, pengop, ref_sel, starts, ivl, s2chr,
+           lengths, smidx, sms):
+        return _entries_core_hp(
+            refs, refchr, hpcs_g, b2i, pengop, ref_sel, starts, ivl, s2chr,
+            lengths, smidx, sms,
+        )
+
+    return fn
+
+
+def hp_pengop_table() -> np.ndarray:
+    """int(GOP * frac) per homopolymer length slot (exact C double->int
+    truncation: int(a+b) == a + int(b) for integer a, positive b — so the
+    gap-length term adds back in integer arithmetic on device)."""
+    from ..constants import GOP
+    from ..ops.dp_numpy import _HP_FRac
+
+    return np.array([int(GOP * f) for f in list(_HP_FRac) + [0.10]], np.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -329,10 +409,38 @@ class Pass1Scorer:
         mesh=None,
         warm: bool = True,
         defer: bool = False,
+        hp_seqs: tuple[str, str] | None = None,
     ):
         self.len1 = len1
         self.batch = batch or default_batch()
         self.E = 2 * self.batch
+        # -h homopolymer mode: entries ship raw chars and score with the hp
+        # device program; reference hp-run starts are precomputed per strand
+        self.hp = hp_seqs is not None
+        if self.hp:
+            if mesh is not None:
+                raise ValueError("hp device program does not shard (yet)")
+            # the hp scan carries an [HPW, E, W] ring of previous rows;
+            # cap the batch so the carry stays ~200 MB (the tunneled axon
+            # worker faults on the 800 MB full-batch variant)
+            self.batch = min(self.batch, 2048)
+            self.E = 2 * self.batch
+            from ..utils.encoding import pop_hpl_and_hps
+
+            WPAD = -(-len1 // REF_BUCKET) * REF_BUCKET
+            WTOT = WPAD + WIN_W
+            refchr = np.zeros((2, WTOT), np.uint8)
+            hpcs = np.zeros((2, WTOT), np.int32)
+            for i, s in enumerate(hp_seqs):
+                s = s[:len1]
+                refchr[i, : len(s)] = np.frombuffer(
+                    s.encode("latin-1"), np.uint8
+                )
+                _, hps = pop_hpl_and_hps(s)
+                hpcs[i, : len(s)] = hps
+            self._refchr_np = refchr
+            self._hpcs_np = hpcs
+            self._pengop_np = hp_pengop_table()
         # reference pads to a REF_BUCKET multiple + WIN_W of tail padding so
         # per-read window gathers never run off the end (gathered junk
         # columns are masked) and consensus-length drift between iterations
@@ -427,6 +535,15 @@ class Pass1Scorer:
             )
             self._refs = jax.device_put(self._refs, sh(None, None))
             self._sms = jax.device_put(self._sms, sh(None, None, None, None))
+        elif self.hp:
+            from ..utils.encoding import BASE2INX
+
+            self._refchr = jnp.asarray(self._refchr_np)
+            self._hpcs = jnp.asarray(self._hpcs_np)
+            self._b2i = jnp.asarray(BASE2INX.astype(np.int32))
+            self._pengop = jnp.asarray(self._pengop_np)
+            self._fn = _plain_fn_hp()
+            self._arg_shardings = None
         else:
             self._fn = _plain_fn(self._use_pallas, bb)
             self._arg_shardings = None
@@ -460,7 +577,9 @@ class Pass1Scorer:
                 np.zeros(1, np.int8),
                 np.zeros(1, np.int32),
                 np.zeros((1, MAX_INTERVALS, 2), np.int32),
-                np.full((1, L_MAX), 4, np.int8),
+                np.zeros((1, L_MAX), np.uint8)
+                if self.hp
+                else np.full((1, L_MAX), 4, np.int8),
                 np.ones(1, np.int32),
                 np.zeros(1, np.int8),
             )
@@ -497,7 +616,7 @@ class Pass1Scorer:
             out[:n] = a
             return out
 
-        s2c_p = np.full((E, L_MAX), 4, np.uint8)
+        s2c_p = np.full((E, L_MAX), 0 if self.hp else 4, np.uint8)
         s2c_p[:n, : s2c.shape[1]] = s2c
         lens_p = pad(np.maximum(np.ascontiguousarray(lengths, np.int32), 1), 1)
         bb, nd = self._bb, self._nd
@@ -510,6 +629,26 @@ class Pass1Scorer:
         lens_s = lens_p[perm]
         maxlens = np.ascontiguousarray(lens_s.reshape(nb, bb).max(axis=1))
         s2c_p = s2c_p[perm]
+        if self.hp:
+            # hp mode ships raw chars (char equality + run computation
+            # happen on device); no nibble pack, no per-block row bound
+            out = self._fn(
+                self._refs,
+                self._refchr,
+                self._hpcs,
+                self._b2i,
+                self._pengop,
+                pad(np.ascontiguousarray(ref_sel, np.int8))[perm],
+                pad(np.ascontiguousarray(starts, np.int32))[perm],
+                pad(np.ascontiguousarray(ivl, np.int16))[perm],
+                s2c_p,
+                lens_s,
+                pad(np.ascontiguousarray(smidx, np.int8))[perm],
+                self._sms,
+            )
+            inv = np.empty(E, np.int64)
+            inv[perm] = np.arange(E)
+            return (out, n, inv)
         # nibble-pack the read codes (codes 0..4, two per byte) — halves the
         # dominant per-batch transfer over the tunnel
         s2c4 = np.ascontiguousarray(s2c_p[:, 0::2] | (s2c_p[:, 1::2] << 4))

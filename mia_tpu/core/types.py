@@ -12,7 +12,7 @@ from typing import Optional
 import numpy as np
 
 
-@dataclass
+@dataclass(slots=True)
 class FragSeq:
     """A raw read plus its alignment state (src/types.h:110-133)."""
 
@@ -31,6 +31,13 @@ class FragSeq:
     score: int = 0
     front_asp: Optional["AlnSeq"] = None
     back_asp: Optional["AlnSeq"] = None
+    # True when back_asp was (re)written by THIS iteration's merge — the
+    # reference leaves stale back pointers otherwise (src/mia_main.c:273-276)
+    back_fresh: bool = False
+    # multi-host stub bookkeeping (parallel/distributed.GlobalReadFilter):
+    # this read's global maln slot indices under the current layout
+    front_slot: Optional[int] = None
+    back_slot: Optional[int] = None
     unique_best: bool = False
     num_inputs: int = 0
     # quality pileup for read collapsing: [4, len] uint32 (A,C,G,T rows),
@@ -41,7 +48,7 @@ class FragSeq:
     gid: int = -1
 
 
-@dataclass
+@dataclass(slots=True)
 class AlnSeq:
     """A read merged into the multi-alignment (src/types.h:61-78).
 

@@ -105,7 +105,26 @@ def _blob(lib, h, name: str) -> list[str]:
     return raw.decode("latin-1").split("\0")[:-1] if n.value else []
 
 
-def parse_reads_native(path: str) -> list[FragSeq] | None:
+def _blob_slice(lib, h, name: str, start: int, end: int) -> list[str]:
+    """Records [start, end) of a '\\0'-separated arena, decoding ONLY that
+    slice (multi-host shards must not materialise the whole file as python
+    strings)."""
+    n = ctypes.c_int64()
+    p = getattr(lib, f"mia_reads_{name}")(h, ctypes.byref(n))
+    if not n.value:
+        return []
+    raw = np.frombuffer(ctypes.string_at(p, n.value), np.uint8)
+    seps = np.flatnonzero(raw == 0)
+    lo = 0 if start == 0 else int(seps[start - 1]) + 1
+    hi = int(seps[end - 1])
+    return (
+        raw[lo:hi].tobytes().decode("latin-1").split("\0") if end > start else []
+    )
+
+
+def count_reads_native(path: str) -> int | None:
+    """Record count via the native parser (no python objects); None when
+    the library is unavailable."""
     lib = _load()
     if lib is None:
         return None
@@ -113,19 +132,42 @@ def parse_reads_native(path: str) -> list[FragSeq] | None:
     if not h:
         raise OSError(f"cannot open {path}")
     try:
-        count = lib.mia_reads_count(h)
-        if count == 0:
+        return int(lib.mia_reads_count(h))
+    finally:
+        lib.mia_reads_free(h)
+
+
+def parse_reads_native(
+    path: str, start: int = 0, count: int = -1
+) -> list[FragSeq] | None:
+    """FragSeq records [start, start+count) (count -1 = to the end); only
+    the requested slice is materialised as python objects/strings."""
+    lib = _load()
+    if lib is None:
+        return None
+    h = lib.mia_parse_reads(path.encode(), -1)
+    if not h:
+        raise OSError(f"cannot open {path}")
+    try:
+        total = lib.mia_reads_count(h)
+        end = total if count < 0 else min(start + count, total)
+        start = min(start, end)
+        if end <= start:
             return []
-        ids = _blob(lib, h, "ids")
-        descs = _blob(lib, h, "descs")
-        seqs = _blob(lib, h, "seqs")
-        quals = _blob(lib, h, "quals")
-        seq_lens = np.ctypeslib.as_array(lib.mia_reads_seq_lens(h), (count,)).copy()
-        qual_sums = np.ctypeslib.as_array(lib.mia_reads_qual_sums(h), (count,)).copy()
+        ids = _blob_slice(lib, h, "ids", start, end)
+        descs = _blob_slice(lib, h, "descs", start, end)
+        seqs = _blob_slice(lib, h, "seqs", start, end)
+        quals = _blob_slice(lib, h, "quals", start, end)
+        seq_lens = np.ctypeslib.as_array(
+            lib.mia_reads_seq_lens(h), (total,)
+        )[start:end].copy()
+        qual_sums = np.ctypeslib.as_array(
+            lib.mia_reads_qual_sums(h), (total,)
+        )[start:end].copy()
     finally:
         lib.mia_reads_free(h)
     out = []
-    for i in range(count):
+    for i in range(end - start):
         fs = FragSeq()
         fs.id = ids[i]
         fs.desc = descs[i]
@@ -146,3 +188,28 @@ def iter_frag_seqs_fast(path: str) -> Iterator[FragSeq]:
         yield from iter_frag_seqs(path)
     else:
         yield from reads
+
+
+def iter_frag_seqs_range(path: str, start: int, count: int) -> Iterator[FragSeq]:
+    """Stream records [start, start+count) — the multi-host shard reader.
+    Native path materialises only the slice; the python fallback streams
+    and discards out-of-range records (constant memory)."""
+    reads = parse_reads_native(path, start, count)
+    if reads is not None:
+        yield from reads
+        return
+    import itertools
+
+    from .fasta import iter_frag_seqs
+
+    yield from itertools.islice(iter_frag_seqs(path), start, start + count)
+
+
+def count_frag_seqs(path: str) -> int:
+    """Total record count (native when available; streaming otherwise)."""
+    n = count_reads_native(path)
+    if n is not None:
+        return n
+    from .fasta import iter_frag_seqs
+
+    return sum(1 for _ in iter_frag_seqs(path))

@@ -163,16 +163,21 @@ class GlobalReadFilter:
     set_uniq_in_fsdb (src/fsdb.c:440-508), find_fsdb_score_cut
     (src/fsdb.c:269-383)."""
 
-    def __init__(self):
+    def __init__(self, full: bool = False):
+        """``full`` additionally mirrors id/seq/qual onto the stubs — needed
+        for global read collapsing (-C) and the global fastq export (-q),
+        which operate on sequence content, at the cost of every host holding
+        the global read strings."""
         from ..core.types import FSDB
 
         self._fsdb = FSDB()
         self._by_gid: dict[int, object] = {}
+        self.full = full
 
     def refresh(self, local_fsdb) -> None:
         """Gather every host's live (gid, rc, as, ae, score, qual_sum,
-        trimmed, seq_len) and update/insert/drop stubs, preserving the
-        current stub order for ties."""
+        trimmed, seq_len, num_inputs) and update/insert/drop stubs,
+        preserving the current stub order for ties."""
         from ..core.types import FragSeq
 
         rows = np.array(
@@ -187,18 +192,38 @@ class GlobalReadFilter:
                     int(fs.trimmed),
                     fs.seq_len,
                     int(fs.unique_best),
+                    fs.num_inputs,
+                    int(fs.strand_known),
+                    int(fs.back_fresh),
                 ]
                 for fs in local_fsdb.fss
             ],
             np.int64,
-        ).reshape(-1, 9)
+        ).reshape(-1, 12)
         shards = gather_arrays(rows)
+        strs: dict[int, tuple] = {}
+        if self.full:
+            blob = "\x00".join(
+                f"{fs.id}\x01{fs.seq}\x01{fs.qual}" for fs in local_fsdb.fss
+            )
+            for shard_blob in gather_bytes(blob.encode("latin-1")):
+                if not shard_blob:
+                    continue
+                for rec in shard_blob.decode("latin-1").split("\x00"):
+                    rid, seq, qual = rec.split("\x01")
+                    strs[len(strs)] = (rid, seq, qual)
+            # keyed positionally in gather order == row gather order below
         live: dict[int, np.ndarray] = {}
         order: list[int] = []
+        live_str: dict[int, tuple] = {}
+        pos = 0
         for shard in shards:
             for r in shard:
                 live[int(r[0])] = r
                 order.append(int(r[0]))
+                if self.full:
+                    live_str[int(r[0])] = strs[pos]
+                pos += 1
         # update existing stubs in place; drop dead; append new in stream
         # order (only happens on the first refresh)
         kept = [s for s in self._fsdb.fss if s.gid in live]
@@ -222,7 +247,141 @@ class GlobalReadFilter:
             s.trimmed = bool(r[6])
             s.seq_len = int(r[7])
             s.unique_best = bool(r[8])
+            s.num_inputs = int(r[9])
+            s.strand_known = bool(r[10])
+            s.back_fresh = bool(r[11])
+            if self.full:
+                s.id, s.seq, s.qual = live_str[s.gid]
         self._by_gid = {s.gid: s for s in self._fsdb.fss}
+
+    # ---- global maln slot-pool replay -----------------------------------
+    # The reference's AlnSeq slots are reused across iterations and the
+    # ``dropped`` flag is only ever SET, never cleared, so a record's DR bit
+    # carries the history of every read that previously occupied its slot
+    # (src/map_alignment.c slot reuse + src/mia.c:418-506).  Sharded hosts
+    # have different local slot histories, so the single-process bits are
+    # replayed here on the global stub order and written back over the
+    # local flags (consensus and the maln writer then see exactly the
+    # single-process state).
+
+    def assign_slots(self) -> None:
+        """Assign global maln slot indices for the CURRENT layout: stream
+        (gid) order for the pass-1 maln, stub order filtered to re-merged
+        (strand-known) reads afterwards; non-merged reads keep their stale
+        slots, un-resplit reads keep their stale back slot."""
+        self._assigns = getattr(self, "_assigns", 0) + 1
+        if not hasattr(self, "_slot_dropped"):
+            self._slot_dropped: list[bool] = []
+        nxt = 0
+        if self._assigns == 1:
+            for st in sorted(self._fsdb.fss, key=lambda s: s.gid):
+                st.front_slot = nxt
+                nxt += 1
+                st.back_slot = None
+                if st.back_fresh:
+                    st.back_slot = nxt
+                    nxt += 1
+        else:
+            for st in self._fsdb.fss:
+                if not st.strand_known:
+                    continue  # not re-merged: stale slots persist
+                st.front_slot = nxt
+                nxt += 1
+                if st.back_fresh:
+                    st.back_slot = nxt
+                    nxt += 1
+        if nxt > len(self._slot_dropped):
+            self._slot_dropped.extend([False] * (nxt - len(self._slot_dropped)))
+
+    def snapshot_fresh(self, local_fsdb) -> dict:
+        """Gather the records freshly merged under the CURRENT slot layout
+        into the cumulative global slot->(start, end, body) map (stale
+        slots then fall back to the last layout that wrote them, exactly
+        like the reference's untouched pool objects).  Idempotent per
+        layout."""
+        from ..io.maln import alnseq_lines
+
+        content = getattr(self, "_slot_content", None)
+        if content is None:
+            content = self._slot_content = {}
+        if getattr(self, "_snap_layout", None) == getattr(self, "_assigns", 0):
+            return content
+        self._snap_layout = getattr(self, "_assigns", 0)
+        first_layout = getattr(self, "_assigns", 0) <= 1
+        parts = []
+        for fs in local_fsdb.fss:
+            st = self._by_gid.get(fs.gid)
+            if st is None:
+                continue
+            merged = True if first_layout else st.strand_known
+            if not merged or fs.front_asp is None:
+                continue
+            body = "\n".join(alnseq_lines(fs.front_asp))
+            parts.append(
+                f"{st.front_slot}\t{fs.front_asp.start}\t{fs.front_asp.end}\n{body}"
+            )
+            if st.back_fresh and fs.back_asp is not None and st.back_slot is not None:
+                body = "\n".join(alnseq_lines(fs.back_asp))
+                parts.append(
+                    f"{st.back_slot}\t{fs.back_asp.start}\t{fs.back_asp.end}\n{body}"
+                )
+        shards = gather_bytes("\x00".join(parts).encode("latin-1"))
+        import jax
+
+        if jax.process_index() != 0:
+            return content  # only the writing host retains record bodies
+        for shard in shards:
+            if not shard:
+                continue
+            for part in shard.decode("latin-1").split("\x00"):
+                keyline, body = part.split("\n", 1)
+                slot, start, end = (int(x) for x in keyline.split("\t"))
+                content[slot] = (start, end, body)
+        return content
+
+    def cull_drops(
+        self, hard_cut: int, score_cut_set: bool, s: float, n: float,
+        distant_ref: bool, ref,
+    ) -> dict:
+        """Replay this cull's below-line decisions on the global slot bits;
+        returns {(global sort position, segment): dropped} for the live
+        unique records (cull_maln_from_fsdb's decision,
+        src/mia.c:418-506)."""
+        from ..core.fsdb import _min_scores_batch, _resolve_cut, find_alignable_len
+
+        slope, intercept = _resolve_cut(self._fsdb, score_cut_set, s, n)
+        fss = self._fsdb.fss
+        if hard_cut > 0:
+            cuts = np.full(len(fss), float(hard_cut))
+        elif distant_ref:
+            cuts = _min_scores_batch(
+                slope, intercept,
+                np.fromiter(
+                    (find_alignable_len(st, ref) for st in fss), np.int32, len(fss)
+                ),
+            )
+        else:
+            cuts = _min_scores_batch(
+                slope, intercept,
+                np.fromiter((st.seq_len for st in fss), np.int32, len(fss)),
+            )
+        drops: dict = {}
+        sd = self._slot_dropped
+        for i, st in enumerate(fss):
+            if not st.unique_best:
+                continue
+            below = st.score < cuts[i]
+            fslot = getattr(st, "front_slot", None)
+            if fslot is not None:
+                if below:
+                    sd[fslot] = True
+                drops[(i, 0)] = sd[fslot]
+            bslot = getattr(st, "back_slot", None)
+            if bslot is not None:
+                if below:
+                    sd[bslot] = True
+                drops[(i, 1)] = sd[bslot]
+        return drops
 
     def sort_and_uniq(self, qscore: bool, just_outer: bool, tol: int,
                       local_fsdb) -> None:
@@ -251,67 +410,97 @@ class GlobalReadFilter:
         maln's insertion-order key for the global maln write)."""
         return {s.gid: i for i, s in enumerate(self._fsdb.fss)}
 
+    def clean(self) -> None:
+        """Mirror clean_FSDB's one-time score<=0 drop (src/mia.c:400-406) on
+        the stub DB so the global collapse sees the same read set a single
+        process would."""
+        self._fsdb.fss = [s for s in self._fsdb.fss if s.score > 0]
+        self._by_gid = {s.gid: s for s in self._fsdb.fss}
 
-def culled_record_keys(
-    fsdb, sort_pos: dict[int, int], culled
-) -> list[tuple[int, int]]:
-    """(owner global-sort position, segment index) per culled record, in
-    ``culled.aln_seqs`` order.  Call AFTER sort_aln_frags: keys are bound to
-    the record objects themselves (front/back AlnSeq identity), so the
-    stable (start,end) re-sort cannot detach a record from its owner's
-    tie-break key (cull picks front then back per unique read,
-    src/mia.c:432-470)."""
-    by_rec: dict[int, tuple[int, int]] = {}
-    for fs in fsdb.fss:
-        if fs.unique_best:
-            p = sort_pos[fs.gid]
-            by_rec[id(fs.front_asp)] = (p, 0)
-            if fs.back_asp is not None:
-                by_rec[id(fs.back_asp)] = (p, 1)
-    return [by_rec[id(a)] for a in culled.aln_seqs]
+    def collapse(
+        self, local_fsdb, hard_cut: int, score_cut_set: bool, s: float, n: float
+    ) -> None:
+        """Global read collapsing (-C): replay collapse_FSDB on the full
+        stub DB (identical on every host — duplicate groups may span
+        hosts), then mirror the outcome locally: dead reads drop, leaders
+        take their synthetic seq/coords/num_inputs.  Requires full=True
+        stubs (seq/qual gathered).  Reference: src/mia.c:314-396."""
+        assert self.full, "global collapse needs GlobalReadFilter(full=True)"
+        from ..core.fsdb import collapse_FSDB
+
+        collapse_FSDB(self._fsdb, hard_cut, score_cut_set, s, n)
+        self._by_gid = {st.gid: st for st in self._fsdb.fss}
+        kept = []
+        for fs in local_fsdb.fss:
+            st = self._by_gid.get(fs.gid)
+            if st is None:
+                continue  # melded into a (possibly remote) leader
+            fs.seq = st.seq
+            fs.seq_len = st.seq_len
+            fs.as_ = st.as_
+            fs.ae = st.ae
+            fs.num_inputs = st.num_inputs
+            kept.append(fs)
+        local_fsdb.fss = kept
+
+    def write_fastq_host0(self, path: str) -> None:
+        """-q export: host 0 writes the COMPLETE read DB in the global
+        (stub) order — the order a single process would have
+        (src/fsdb.c:392-419).  Requires full=True stubs."""
+        assert self.full
+        import jax
+
+        if jax.process_index() != 0:
+            return
+        from ..core.fsdb import write_fastq
+
+        write_fastq(path, self._fsdb)
 
 
 def write_ma_global(
     path: str,
     culled,
-    record_keys: list[tuple[int, int]],
+    gf: "GlobalReadFilter",
+    local_fsdb,
     pass1_total: int,
     *,
     timestamp: float | None = None,
 ) -> None:
-    """Host 0 writes the COMPLETE maln: every host's culled records,
-    stable-merged by (start, end, owner global-sort position, segment) —
-    byte-identical to a single process culling the concatenated stream
-    (records there are inserted in global sorted order and stably sorted by
-    (start, end), src/map_align.c:393-414)."""
+    """Host 0 writes the COMPLETE maln via the global slot replay.
+
+    The reference emits fs->front_asp/back_asp POINTERS into the reused
+    slot pool; a read that was not re-merged this iteration emits whatever
+    record now occupies its stale slot (src/mia_main.c:273-276 +
+    src/mia.c:432-470).  Hosts therefore ship the records they freshly
+    merged keyed by GLOBAL slot, every host replays the identical pick
+    sequence over the stub DB, and host 0 stably sorts the picked records
+    by (start, end) — byte-identical to the single process, including the
+    aliased emissions."""
     import jax
 
-    from ..io.maln import alnseq_lines, header_lines
+    from ..io.maln import header_lines
 
-    recs = culled.aln_seqs
-    assert len(recs) == len(record_keys), (len(recs), len(record_keys))
-    parts = []
-    for (pos, seg), a in zip(record_keys, recs):
-        body = "\n".join(alnseq_lines(a))
-        parts.append(f"{a.start}\t{a.end}\t{pos}\t{seg}\n{body}")
-    blob = "\x00".join(parts).encode("latin-1")
-    shards = gather_bytes(blob)
-    counts = allreduce_terms(np.array([len(recs)], np.int64))
+    content = gf.snapshot_fresh(local_fsdb)
+
+    # identical pick replay on every host (only host 0 writes)
+    picks: list[int] = []
+    for st in gf._fsdb.fss:
+        if not st.unique_best:
+            continue
+        picks.append(st.front_slot)
+        if st.back_slot is not None:
+            picks.append(st.back_slot)
     if jax.process_index() != 0:
         return
-    merged = []
-    for shard in shards:
-        if not shard:
-            continue
-        for part in shard.decode("latin-1").split("\x00"):
-            keyline, body = part.split("\n", 1)
-            start, end, pos, seg = (int(x) for x in keyline.split("\t"))
-            merged.append(((start, end, pos, seg), body))
-    merged.sort(key=lambda kv: kv[0])
+    recs = []
+    for k, slot in enumerate(picks):
+        start, end, body = content[slot]
+        recs.append(((start, end, k), body))
+    recs.sort(key=lambda kv: kv[0])
     lines = header_lines(
-        culled, timestamp=timestamp, nas=int(counts[0]), siz=pass1_total
+        culled, timestamp=timestamp, nas=len(picks), siz=pass1_total
     )
-    lines.extend(kv[1] for kv in merged)
+    lines.extend(kv[1] for kv in recs)
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
 

@@ -172,11 +172,13 @@ class Server:
         if op == "scorer":
             from .core.jax_engine import Pass1Scorer
 
+            hp_seqs = req.get("hp_seqs")
             key = hashlib.sha1(
                 req["fw"].tobytes()
                 + req["rc"].tobytes()
                 + req["sms"].tobytes()
                 + str((req["len1"], req["batch"])).encode()
+                + (repr(hp_seqs).encode() if hp_seqs else b"")
             ).hexdigest()
             with self._lock:
                 sc = self._scorers.get(key)
@@ -190,6 +192,7 @@ class Server:
                         batch=req["batch"],
                         warm=True,
                         defer=True,
+                        hp_seqs=hp_seqs,
                     )
                     self._scorers[key] = sc
             return {"sid": key, "ready": sc.device_ready()}
@@ -255,12 +258,17 @@ class ServerScorer:
         batch: int | None = None,
         path: str | None = None,
         timeout: float = 5.0,
+        hp_seqs: tuple[str, str] | None = None,
     ):
         from .core.jax_engine import default_batch
 
         self.len1 = len1
         self.batch = batch or default_batch()
         self.E = 2 * self.batch
+        self.hp = hp_seqs is not None
+        if self.hp:
+            self.batch = min(self.batch, 2048)  # mirror Pass1Scorer's hp cap
+            self.E = 2 * self.batch
         self._lock = threading.Lock()
         self._ready = False
         self._conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
@@ -277,7 +285,7 @@ class ServerScorer:
         rc = np.asarray(rc_s1c[:len1], np.int8)
         r = self._rpc(
             {"op": "scorer", "fw": fw, "rc": rc, "len1": len1, "sms": sms,
-             "batch": self.batch}
+             "batch": self.batch, "hp_seqs": hp_seqs}
         )
         self._sid = r["sid"]
         self._ready = r["ready"]

@@ -50,6 +50,7 @@ def make_inputs(rng, d):
     fastq = rng.random() < 0.5
     reads_fn = os.path.join(d, "reads." + ("fastq" if fastq else "fna"))
     refu = ref.upper()
+    names = []
     with open(reads_fn, "w") as f:
         for i in range(n_reads):
             kind = rng.random()
@@ -70,16 +71,23 @@ def make_inputs(rng, d):
                 s = rng.randrange(max(ref_len - L, 1))
                 seq = refu[s : s + L]
             name = f"r{i}" + ("_dup" if kind >= 0.8 else "")
+            names.append(name)
             desc = " a desc" if rng.random() < 0.15 else ""
             if fastq:
                 qual = "".join(chr(33 + rng.randint(2, 40)) for _ in seq)
                 f.write(f"@{name}{desc}\n{seq}\n+\n{qual}\n")
             else:
                 f.write(f">{name}{desc}\n{seq}\n")
-    return ref_fn, reads_fn
+    ids_fn = None
+    if names and rng.random() < 0.5:
+        ids_fn = os.path.join(d, "ids.txt")
+        subset = [n for n in names if rng.random() < 0.6]
+        with open(ids_fn, "w") as f:
+            f.write("\n".join(subset) + ("\n" if subset else ""))
+    return ref_fn, reads_fn, ids_fn
 
 
-def pick_flags(rng):
+def pick_flags(rng, ids_fn=None):
     flags = []
     if rng.random() < 0.4:
         flags.append("-c")
@@ -110,13 +118,29 @@ def pick_flags(rng):
         flags.append("-F")
     if rng.random() < 0.15:
         flags += ["-s", os.path.join(MATRICES, "ancient.submat.txt")]
+    # round-5 coverage (VERDICT r4 #8): dedup mode, id lists, explicit
+    # cutoff line, custom adapters, fastq export (note -q falls through to
+    # -C in the reference's getopt — replicated by our CLI)
+    if rng.random() < 0.15:
+        flags.append("-A")
+    if ids_fn is not None and rng.random() < 0.3:
+        flags += ["-I", ids_fn]
+    if rng.random() < 0.12:
+        flags += ["-S", str(rng.choice([5, 8, 12])), "-N",
+                  str(rng.choice([-500, -300, 0]))]
+    if rng.random() < 0.12:
+        flags += ["-a", rand_seq(rng, rng.randint(8, 24))]
+        if "-T" not in flags and rng.random() < 0.7:
+            flags.append("-T")
+    if rng.random() < 0.12:
+        flags += ["-q", "out.fastq"]
     return flags
 
 
 def run_one(rng, trial):
     with tempfile.TemporaryDirectory() as d:
-        ref_fn, reads_fn = make_inputs(rng, d)
-        flags = pick_flags(rng)
+        ref_fn, reads_fn, ids_fn = make_inputs(rng, d)
+        flags = pick_flags(rng, ids_fn)
         cdir = os.path.join(d, "c")
         pdir = os.path.join(d, "p")
         os.makedirs(cdir)
@@ -127,7 +151,11 @@ def run_one(rng, trial):
         )
         env = dict(os.environ)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-        env.setdefault("JAX_PLATFORMS", "cpu")
+        # hermetic: CPU backend, no resident server, no work-stealing — the
+        # fuzz exercises the engines' logic, not the tunnel
+        env["JAX_PLATFORMS"] = "cpu"
+        env["MIA_JAX_PLATFORM"] = "cpu"
+        env["MIA_TPU_SERVER"] = "0"
         rp = subprocess.run(
             [sys.executable, "-m", "mia_tpu.cli.mia", *args],
             cwd=pdir,
@@ -155,6 +183,14 @@ def run_one(rng, trial):
                 cb = b.read().split(b"\n")
             if fn.startswith("out.maln"):
                 ca, cb = ca[1:], cb[1:]
+            if fn == "out.fastq" and reads_fn.endswith(".fna"):
+                # FASTA input has no quality strings; the reference's
+                # collapse (-q implies -C) emits stale-memory bytes on the
+                # qual lines of collapsed reads (uninitialised FragSeq.qual,
+                # src/mia.c:140-233 + src/fsdb.c:392-419) — compare
+                # everything except the qual line of each record
+                ca = [ln for i, ln in enumerate(ca) if i % 4 != 3]
+                cb = [ln for i, ln in enumerate(cb) if i % 4 != 3]
             if ca != cb:
                 print(f"[{trial}] DIFF in {fn} flags={flags}")
                 keep = os.path.join("/tmp", f"fuzzfail_{trial}")

@@ -52,34 +52,6 @@ with open(sys.argv[1], "wb") as f:
 """
 
 
-def test_culled_record_keys_follow_records_through_sort():
-    """Keys must be bound to record identity, not picked position: after
-    sort_aln_frags reorders equal-(start,end) culled records, each record
-    keeps its owner's (global sort position, segment) key (regression for
-    the positional-zip bug)."""
-    from mia_tpu.core.columns import sort_aln_frags
-    from mia_tpu.core.types import AlnSeq, FragSeq, FSDB, MapAlignment
-    from mia_tpu.parallel.distributed import culled_record_keys
-
-    fsdb = FSDB()
-    culled = MapAlignment()
-    picked = []
-    # picked order [start=5, start=3]: sort_aln_frags reverses them
-    for gid, start in ((7, 5), (3, 3)):
-        fs = FragSeq()
-        fs.gid = gid
-        fs.unique_best = True
-        fs.front_asp = AlnSeq(id=f"r{gid}", start=start, end=start + 10)
-        fsdb.fss.append(fs)
-        picked.append(fs.front_asp)
-    culled.set_aln_seqs(picked)
-    sort_aln_frags(culled)
-    sort_pos = {7: 1, 3: 0}
-    keys = culled_record_keys(fsdb, sort_pos, culled)
-    assert [a.id for a in culled.aln_seqs] == ["r3", "r7"]
-    assert keys == [(0, 0), (1, 0)]
-
-
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -135,12 +107,22 @@ def test_two_process_consensus_psum(tmp_path):
         assert np.array_equal(got, expect), f"process {i} consensus differs"
 
 
-def test_two_process_assembly_byte_identical(tmp_path):
-    """END-TO-END: a 2-process sharded assembly must write the SAME maln
-    bytes (host 0) as a single-process run — global repeat filters, global
-    score-cut fit, all-reduced consensus, global convergence vote and the
-    merged maln writer all engaged (BASELINE config 5's flow at fixture
-    scale)."""
+@pytest.mark.parametrize(
+    "flags",
+    [
+        ["-c", "-k", "12"],
+        # -C collapse + -q fastq export: duplicate groups spanning hosts
+        # and the global fastq write (round-5: previously RuntimeError'd)
+        ["-U", "-C2", "-q", "out.fastq"],
+    ],
+    ids=["circular_kmer", "collapse_fastq"],
+)
+def test_two_process_assembly_byte_identical(tmp_path, flags):
+    """END-TO-END: a 2-process sharded assembly must write the SAME files
+    (host 0) as a single-process run — global repeat filters, global
+    score-cut fit, global collapse, all-reduced consensus, global
+    convergence vote, the merged maln writer and the global fastq export
+    all engaged (BASELINE config 5's flow at fixture scale)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     fixtures = os.path.join(repo, "tests", "fixtures")
 
@@ -155,12 +137,13 @@ def test_two_process_assembly_byte_identical(tmp_path):
             [
                 sys.executable, "-m", "mia_tpu.cli.mia",
                 "-r", os.path.join(fixtures, "tr1.fna"),
-                "-f", os.path.join(fixtures, "tf.fna"),
-                "-c", "-k", "12",
+                "-f", os.path.join(fixtures, "tf.fastq"),
+                *flags,
                 "-m", os.path.join(workdir, "out.maln"),
                 "--engine", "native",
             ],
             env=env,
+            cwd=workdir,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
         )
@@ -196,7 +179,10 @@ def test_two_process_assembly_byte_identical(tmp_path):
         files = {}
         for fn in sorted(os.listdir(d)):
             with open(os.path.join(d, fn), "rb") as fh:
-                files[fn] = b"\n".join(fh.read().split(b"\n")[1:])
+                data = fh.read()
+            if fn.startswith("out.maln"):  # drop the asctime header line
+                data = b"\n".join(data.split(b"\n")[1:])
+            files[fn] = data
         return files
 
     want = norm(single_dir)

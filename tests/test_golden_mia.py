@@ -22,6 +22,12 @@ CONFIGS = {
     "p2": ["-r", "tr1.fna", "-f", "tf.fna", "-p", "2"],
     "fastq_UC": ["-r", "tr1.fna", "-f", "tf.fastq", "-U", "-C2"],
     "distant": ["-r", "tr1_distant.fna", "-f", "tf.fna", "-D"],
+    "hp_k": ["-r", "tr1.fna", "-f", "tf.fna", "-h", "-k", "12"],
+    "A454": ["-r", "tr1.fna", "-f", "tf.fna", "-T", "-u", "-A"],
+    "softmask_k": ["-r", "tr1.fna", "-f", "tf.fna", "-M", "-k", "12"],
+    "idlist": ["-r", "tr1.fna", "-f", "tf.fna", "-I", "ids.txt", "-u"],
+    "scoreline": ["-r", "tr1.fna", "-f", "tf.fna", "-u", "-S", "8", "-N", "-300"],
+    "adapter": ["-r", "tr1.fna", "-f", "tf.fna", "-T", "-a", "GGCCTTGGAA"],
     "sim200": [
         "-r", "mt_sim.fna", "-f", "sim200.fastq", "-c",
         "-s", "ancient.submat.txt", "-k", "12", "-u",
@@ -72,7 +78,9 @@ def test_maln_byte_identical(name, engine, tmp_path):
     if engine == "numpy" and name == "sim200":
         pytest.skip("per-read exact path is minutes-slow on sim200")
     args = [
-        os.path.join(FIXTURES, a) if a.endswith((".fna", ".fastq")) else a
+        os.path.join(FIXTURES, a)
+        if (a.endswith((".fna", ".fastq")) or a == "ids.txt")
+        else a
         for a in CONFIGS[name]
     ]
     _run_mia(args, tmp_path, engine=engine)
@@ -83,3 +91,33 @@ def test_maln_byte_identical(name, engine, tmp_path):
         assert _norm(tmp_path / fn) == _norm(os.path.join(golden, fn)), (
             f"{name}/{fn} differs from reference output"
         )
+
+
+def test_hp_device_program_engaged(tmp_path):
+    """-h under --engine jax must actually score on the device program
+    (not silently fall back to the native engine): assert the device
+    counter in the profile output."""
+    import json
+
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["MIA_TPU_STEAL"] = "0"
+    env["MIA_SCORE_BATCH"] = "64"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MIA_JAX_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "mia_tpu.cli.mia",
+            "-r", os.path.join(FIXTURES, "tr1.fna"),
+            "-f", os.path.join(FIXTURES, "tf.fna"),
+            "-h", "-k", "12", "--engine", "jax", "--profile", "-m", "out.maln",
+        ],
+        cwd=tmp_path, env=env, capture_output=True, timeout=900, check=True,
+    )
+    line = [
+        ln for ln in r.stderr.decode().splitlines() if ln.startswith("MIA_PROFILE")
+    ][-1]
+    prof = json.loads(line.split("MIA_PROFILE ", 1)[1])
+    assert prof["counters"].get("pass1.device_scored_reads", 0) > 0, prof
+    assert prof["counters"].get("pass1.batches_stolen_native", 0) == 0, prof
