@@ -199,6 +199,30 @@ def _kernel_numbers(detail: dict) -> None:
     detail["banded_win384_gcells_per_s"] = round(n_it * E * W * L / dt / 1e9, 2)
     detail["banded_entries_per_s"] = round(n_it * E / dt, 1)
 
+    # tunnel-robust DEVICE-ONLY rate: the banded number above includes the
+    # ~3 MB/batch upload over the ~30 MB/s tunnel (a fixed ~130 ms floor);
+    # the marginal rows-sweep cancels that fixed cost and measures the
+    # kernel's own Gcells/s of COMPUTED cells
+    try:
+        times = {}
+        for rows in (40, 250):
+            lnr = np.full(E, rows, np.int32)
+            h = sc.dispatch_entries(rsel, ws, ivl, s2c, lnr, smi)
+            sc.collect_entries(h)
+            t0 = time.time()
+            hs = [sc.dispatch_entries(rsel, ws, ivl, s2c, lnr, smi)
+                  for _ in range(n_it)]
+            for h in hs:
+                sc.collect_entries(h)
+            times[rows] = (time.time() - t0) / n_it
+        marginal = (times[250] - times[40]) / 210.0  # s per extra row
+        if marginal > 0:
+            detail["banded_device_gcells_per_s"] = round(
+                E * W / marginal / 1e9, 2
+            )
+    except Exception as e:
+        detail["banded_device_error"] = type(e).__name__
+
     # full-width historical shape via the raw pallas/batched kernel
     try:
         from mia_tpu.ops.dp_jax import batch_last_row, depths_for
@@ -234,7 +258,10 @@ def _kernel_numbers(detail: dict) -> None:
 
 
 def _mesh_scaling(detail: dict) -> None:
-    """dp=1 vs dp=8 on the virtual CPU mesh (sharding-overhead stand-in)."""
+    """dp=1..8 sweep on the virtual CPU mesh: fixed total work, per-dp wall
+    time, entries/s and the host-side dispatch (pack/sort/shard-put)
+    overhead split out — the sharding layer's overhead curve, measurable
+    without real multi-chip hardware (VERDICT r4 #9)."""
     script = r"""
 import os, time, json
 import numpy as np
@@ -249,7 +276,7 @@ len1 = 4096
 fw = rng.integers(0,4,len1).astype(np.int8)
 sm = init_flatsubmat().astype(np.int32)
 out = {}
-for nd in (1, 8):
+for nd in (1, 2, 4, 8):
     mesh = Mesh(np.array(jax.devices()[:nd]), ("dp",)) if nd > 1 else None
     sc = je.Pass1Scorer(fw, fw, len1, sm, batch=256, mesh=mesh, warm=False)
     E = sc.E
@@ -259,10 +286,15 @@ for nd in (1, 8):
     ivl = np.zeros((E,je.MAX_INTERVALS,2),np.int32); ivl[:,0,0]=2; ivl[:,0,1]=je.WIN_W
     z8 = np.zeros(E,np.int8)
     sc.collect_entries(sc.dispatch_entries(z8, ws, ivl, s2c, ln, z8))
-    t0=time.time()
-    for _ in range(2):
-        sc.collect_entries(sc.dispatch_entries(z8, ws, ivl, s2c, ln, z8))
-    out[nd] = time.time()-t0
+    n_it = 2
+    t0=time.time(); disp=0.0
+    for _ in range(n_it):
+        td=time.time()
+        h = sc.dispatch_entries(z8, ws, ivl, s2c, ln, z8)
+        disp += time.time()-td
+        sc.collect_entries(h)
+    dt = time.time()-t0
+    out[nd] = {"s": dt, "entries_per_s": n_it*E/dt, "dispatch_s": disp}
 print(json.dumps(out))
 """
     env = dict(os.environ)
@@ -274,15 +306,22 @@ print(json.dumps(out))
     try:
         r = subprocess.run(
             [sys.executable, "-c", script], env=env, capture_output=True,
-            check=True, timeout=600,
+            check=True, timeout=900,
         )
         t = json.loads(r.stdout.decode().strip().splitlines()[-1])
-        detail["cpu_mesh_dp1_s"] = round(t["1"], 2)
-        detail["cpu_mesh_dp8_s"] = round(t["8"], 2)
-        detail["cpu_mesh_dp8_speedup"] = round(t["1"] / t["8"], 2)
+        sweep = {}
+        for nd, row in t.items():
+            sweep[f"dp{nd}"] = {
+                "s": round(row["s"], 2),
+                "entries_per_s": round(row["entries_per_s"], 1),
+                "dispatch_s": round(row["dispatch_s"], 2),
+            }
+        detail["cpu_mesh_dp_sweep"] = sweep
+        detail["cpu_mesh_dp8_speedup"] = round(t["1"]["s"] / t["8"]["s"], 2)
         detail["cpu_mesh_note"] = (
-            "virtual devices share host cores: sharding-overhead stand-in, "
-            "not ICI scaling"
+            "virtual devices share 2 host cores: the sweep measures the "
+            "sharding layer's dispatch/collect overhead curve, not ICI "
+            "scaling"
         )
     except Exception as e:
         detail["cpu_mesh_error"] = type(e).__name__

@@ -39,6 +39,28 @@ def bucket(total: int) -> int:
     raise ValueError(f"observation stream too large for device path: {total}")
 
 
+# shapes whose jitted program has completed at least one real call in this
+# process — callers can steal to the host path instead of blocking on a
+# cold compile (serve.py's nowait consensus op)
+_WARM: set = set()
+
+
+def shape_key(total: int, R: int, n: int, ndev: int = 1) -> tuple:
+    """The static-shape bucket (TCs, RCg, n, ndev) a call with this input
+    size resolves to (must mirror device_column_counts's padding)."""
+    TC = bucket(max(total + ndev * 256, 1))
+    if TC % ndev:
+        TC += ndev - TC % ndev
+    RCg = 1
+    while RCg < R + 1:
+        RCg *= 2
+    return (TC // ndev, RCg, int(n), ndev)
+
+
+def is_warm(total: int, R: int, n: int, ndev: int = 1) -> bool:
+    return shape_key(total, R, n, ndev) in _WARM
+
+
 @functools.lru_cache(maxsize=None)
 def _accum_fn(TC: int, RC: int, n: int, mesh_key=None):
     """Jitted accumulator for a (stream cap, record cap, columns) bucket.
@@ -198,6 +220,7 @@ def device_column_counts(
     # static-shape key: per-SHARD stream/record capacities (the shard_map
     # split hands each device one contiguous group)
     fn = _accum_fn(TCs, RCg, int(n), mesh)
+    _WARM.add((TCs, RCg, int(n), ndev))
     counts, cov, scores = fn(
         seq_p,
         smp_p,

@@ -78,6 +78,93 @@ def _recv(conn: socket.socket):
     return pickle.loads(bytes(buf))
 
 
+# ---------------------------------------------------------------- warm shapes
+def _warmlist_path() -> str:
+    from .utils.jaxcfg import cache_dir_path
+
+    return os.path.join(cache_dir_path(), "warm_shapes.json")
+
+
+def record_warm_shape(entry: dict) -> None:
+    """Append a program shape to the warm list (deduped, capped) so the next
+    server start can prewarm it from the persistent compile cache."""
+    import json
+
+    try:
+        path = _warmlist_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        shapes: list = []
+        if os.path.exists(path):
+            with open(path) as fh:
+                shapes = json.load(fh)
+        if entry in shapes:
+            return
+        shapes.append(entry)
+        with open(path, "w") as fh:
+            json.dump(shapes[-8:], fh)
+    except Exception:
+        pass  # warm list is an optimization only
+
+
+def prewarm_recorded_shapes() -> int:
+    """Compile/load every recorded program shape (dummy values, real
+    shapes): with a populated persistent cache this deserializes in seconds
+    instead of paying the 35-235 s remote compile lottery on the first real
+    batch.  Returns the number of shapes warmed."""
+    import json
+
+    import numpy as np
+
+    try:
+        with open(_warmlist_path()) as fh:
+            shapes = json.load(fh)
+    except Exception:
+        return 0
+    warmed = 0
+    for e in shapes:
+        try:
+            if e.get("kind") == "scorer":
+                from .core.jax_engine import Pass1Scorer
+
+                len1 = int(e["len1"])
+                dummy = np.zeros(len1, np.int8)
+                sm = np.zeros((31, 5, 5), np.int32)
+                hp_seqs = ("A" * len1, "A" * len1) if e.get("hp") else None
+                sc = Pass1Scorer(
+                    dummy, dummy, len1, sm, batch=int(e["batch"]), warm=True,
+                    defer=False, hp_seqs=hp_seqs,
+                )
+                while not sc._warmed and not sc.failed():
+                    _sleep(0.2)
+                warmed += 1
+            elif e.get("kind") == "consensus":
+                from .ops.consensus_device import device_column_counts
+
+                total, R, n = int(e["total"]), int(e["R"]), int(e["n"])
+                spans = np.zeros(R, np.int32)
+                spans[0] = total
+                device_column_counts(
+                    np.zeros(max(total, 1), np.uint8),
+                    np.full(max(total, 1), 65, np.uint8),
+                    np.zeros(R, np.int32), spans,
+                    np.zeros(R, np.int32), np.zeros(R, np.int32),
+                    np.zeros(R, np.int8),
+                    np.zeros((31, 5, 5), np.int64),
+                    np.zeros((31, 5, 5), np.int64),
+                    n,
+                )
+                warmed += 1
+        except Exception:
+            continue
+    return warmed
+
+
+def _sleep(s: float) -> None:
+    import time
+
+    time.sleep(s)
+
+
 # --------------------------------------------------------------------- server
 class Server:
     """Single-process scoring server; one thread per client connection.
@@ -122,6 +209,16 @@ class Server:
                 f"mia-tpu-serve: ready on {self.path} ({n_dev} device(s))",
                 flush=True,
             )
+
+            # prewarm previously-seen program shapes from the persistent
+            # compile cache so the first real batch never pays the remote
+            # compile lottery (VERDICT r4 cold-start item)
+            def _prewarm():
+                n = prewarm_recorded_shapes()
+                if n:
+                    print(f"mia-tpu-serve: prewarmed {n} shape(s)", flush=True)
+
+            threading.Thread(target=_prewarm, daemon=True).start()
             while True:
                 try:
                     conn, _ = srv.accept()
@@ -195,6 +292,10 @@ class Server:
                         hp_seqs=hp_seqs,
                     )
                     self._scorers[key] = sc
+                    record_warm_shape(
+                        {"kind": "scorer", "len1": int(req["len1"]),
+                         "batch": int(req["batch"]), "hp": bool(hp_seqs)}
+                    )
             return {"sid": key, "ready": sc.device_ready()}
         if op == "ready":
             sc = self._scorers[req["sid"]]
@@ -221,13 +322,48 @@ class Server:
         if op == "consensus":
             # device consensus accumulation (ops/consensus_device.py): the
             # column-counts scatter-add runs on the chip; bit-equal to the
-            # host accumulators, so the client uses it as a drop-in
-            from .ops.consensus_device import device_column_counts
+            # host accumulators, so the client uses it as a drop-in.
+            # nowait: a cold program warms on a background thread while the
+            # caller runs this one pass on host (the consensus analogue of
+            # pass-1 work-stealing — a cold compile must never stall a run)
+            from .ops.consensus_device import device_column_counts, is_warm
 
+            if req.get("nowait") and not is_warm(
+                int(req["spans"].sum()), len(req["spans"]), int(req["n"])
+            ):
+                wkey = ("consw", int(req["spans"].sum()), len(req["spans"]),
+                        int(req["n"]))
+                with self._lock:
+                    warming = wkey in self._handles
+                    if not warming:
+                        self._handles[wkey] = True
+                if not warming:
+                    args = {k: req[k] for k in (
+                        "seq", "smp", "starts", "spans", "seq_off",
+                        "smp_off", "revs", "fpsm", "rpsm")}
+                    nn = int(req["n"])
+
+                    def _warm_cons():
+                        try:
+                            device_column_counts(
+                                args["seq"], args["smp"], args["starts"],
+                                args["spans"], args["seq_off"],
+                                args["smp_off"], args["revs"],
+                                args["fpsm"], args["rpsm"], nn,
+                            )
+                        except Exception:
+                            pass
+
+                    threading.Thread(target=_warm_cons, daemon=True).start()
+                return {"cold": True}
             counts, cov, scores = device_column_counts(
                 req["seq"], req["smp"], req["starts"], req["spans"],
                 req["seq_off"], req["smp_off"], req["revs"],
                 req["fpsm"], req["rpsm"], int(req["n"]),
+            )
+            record_warm_shape(
+                {"kind": "consensus", "total": int(req["spans"].sum()),
+                 "R": int(len(req["spans"])), "n": int(req["n"])}
             )
             return {"counts": counts, "cov": cov, "scores": scores}
         if op == "free":
@@ -387,6 +523,7 @@ class _ConsensusClient:
     ):
         req = {
             "op": "consensus",
+            "nowait": os.environ.get("MIA_TPU_STEAL", "1") != "0",
             "seq": np.ascontiguousarray(seq, np.uint8),
             "smp": np.ascontiguousarray(smp, np.uint8),
             "starts": np.ascontiguousarray(starts, np.int32),
@@ -403,6 +540,9 @@ class _ConsensusClient:
             status, payload = _recv(self._conn)
         if status != "ok":
             raise RuntimeError(f"server error: {payload}")
+        if payload.get("cold"):
+            # program warming in the background: this pass runs on host
+            raise RuntimeError("consensus program cold (warming)")
         return (
             payload["counts"].astype(np.int64),
             payload["cov"].astype(np.int64),

@@ -54,6 +54,13 @@ def _machine_tag() -> str:
     return "generic"
 
 
+def cache_dir_path() -> str:
+    """Location of the persistent compile cache (and the warm-shape list)."""
+    return os.environ.get("MIA_TPU_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "mia-tpu", "xla", _machine_tag()
+    )
+
+
 def setup_jax_cache() -> None:
     """Enable the client persistent compilation cache (idempotent; safe on
     any backend).  Opt out with MIA_TPU_NO_CACHE=1.
@@ -71,9 +78,7 @@ def setup_jax_cache() -> None:
     _done = True
     if os.environ.get("MIA_TPU_NO_CACHE"):
         return
-    cache_dir = os.environ.get("MIA_TPU_CACHE_DIR") or os.path.join(
-        os.path.expanduser("~"), ".cache", "mia-tpu", "xla", _machine_tag()
-    )
+    cache_dir = cache_dir_path()
     try:
         os.makedirs(cache_dir, exist_ok=True)
         import jax
