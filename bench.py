@@ -424,17 +424,31 @@ def main() -> int:
                         ref_seq, SimConfig(num_reads=100000, mean_len=60, seed=3)
                     ):
                         f.write(f"@{name}\n{seq}\n+\n{qual}\n")
-            n100 = _run_ours(ref_fn, frag100, "native", "n100", timeout=1200)
+            # interleaved medians: single 100k runs on this multi-tenant box
+            # can spike 5-10x (measured); pair the engines per round so load
+            # windows hit both
+            s100 = {"native": [], "jax": []}
+            for _ in range(3):
+                r = _run_ours(ref_fn, frag100, "native", "n100", timeout=1200)
+                if r:
+                    s100["native"].append(r)
+                if srv is not None:
+                    r = _run_ours(
+                        ref_fn, frag100, "jax", "j100", timeout=1200,
+                        env_extra=senv,
+                    )
+                    if r:
+                        s100["jax"].append(r)
+            n100 = sorted(s100["native"], key=lambda r: r[0])
+            j100 = sorted(s100["jax"], key=lambda r: r[0])
+            n100 = n100[len(n100) // 2] if n100 else None
+            j100 = j100[len(j100) // 2] if j100 else None
             if n100:
                 detail["native_100k_seconds"] = round(n100[0], 2)
-            if srv is not None:
-                j100 = _run_ours(
-                    ref_fn, frag100, "jax", "j100", timeout=1200, env_extra=senv
-                )
-                if j100:
-                    detail["jax_server_100k_seconds"] = round(j100[0], 2)
-                if n100 and j100 and _norm_maln(n100[1]) != _norm_maln(j100[1]):
-                    detail["parity_100k"] = "MISMATCH"
+            if j100:
+                detail["jax_server_100k_seconds"] = round(j100[0], 2)
+            if n100 and j100 and _norm_maln(n100[1]) != _norm_maln(j100[1]):
+                detail["parity_100k"] = "MISMATCH"
         except Exception as e:
             detail["e2e_100k_error"] = type(e).__name__
     finally:

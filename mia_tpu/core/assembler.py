@@ -780,10 +780,26 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         if isinstance(scorer, ServerScorer):
             cons_hook = connect_consensus()
         else:
-            # in-process device runtime already live (e.g. MIA_TPU_STEAL=0)
-            from ..ops.consensus_device import device_column_counts
+            # in-process device runtime already live (e.g. MIA_TPU_STEAL=0).
+            # Never block a pass on the compile lottery; and a background
+            # warm would make this session's own scoring dispatches queue
+            # behind the compile on the tunnel, so a cold program simply
+            # stays on the host path for this process (the resident server
+            # is the production configuration; it warms at idle)
+            from ..ops import consensus_device as _cd
 
-            cons_hook = device_column_counts
+            def _inproc_hook(seq, smp, starts, spans, seq_off, smp_off,
+                             revs, fpsm, rpsm, n):
+                if _os.environ.get("MIA_TPU_STEAL", "1") != "0" and not _cd.is_warm(
+                    int(spans.sum()), len(spans), int(n)
+                ):
+                    raise RuntimeError("consensus program cold")
+                return _cd.device_column_counts(
+                    seq, smp, starts, spans, seq_off, smp_off, revs,
+                    fpsm, rpsm, n,
+                )
+
+            cons_hook = _inproc_hook
 
     if cfg.iterate:
         _log("Generating new assembly consensus")

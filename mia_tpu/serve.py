@@ -183,6 +183,10 @@ class Server:
         self._hid = 0
         self._lock = threading.Lock()
         self._last_activity = _now()
+        # consensus shapes waiting to compile at the next idle window
+        self._pending_warms: list = []
+        self._pending_warm_keys: set = set()
+        self._warming = False
 
     def serve_forever(self) -> None:
         try:
@@ -229,6 +233,7 @@ class Server:
                     ):
                         print("mia-tpu-serve: idle timeout, exiting", flush=True)
                         return
+                    self._maybe_warm_pending()
                     continue
                 t = threading.Thread(target=self._client, args=(conn,), daemon=True)
                 t.start()
@@ -240,6 +245,33 @@ class Server:
                     os.unlink(p)
                 except OSError:
                     pass
+
+    def _maybe_warm_pending(self) -> None:
+        """Compile one queued consensus shape, only when the server has been
+        idle >10 s (one at a time, on a worker thread so accept keeps
+        running)."""
+        with self._lock:
+            if (
+                self._warming
+                or not self._pending_warms
+                or _now() - self._last_activity <= 10.0
+            ):
+                return
+            self._warming = True
+            wkey, args = self._pending_warms.pop(0)
+
+        def _do():
+            try:
+                from .ops.consensus_device import device_column_counts
+
+                device_column_counts(*args)
+                print(f"mia-tpu-serve: warmed consensus shape {wkey}", flush=True)
+            except Exception:
+                pass
+            finally:
+                self._warming = False
+
+        threading.Thread(target=_do, daemon=True).start()
 
     def _client(self, conn: socket.socket) -> None:
         try:
@@ -331,30 +363,32 @@ class Server:
             if req.get("nowait") and not is_warm(
                 int(req["spans"].sum()), len(req["spans"]), int(req["n"])
             ):
-                wkey = ("consw", int(req["spans"].sum()), len(req["spans"]),
-                        int(req["n"]))
+                # queue the warm for the next IDLE window: compiling while a
+                # session is live makes its device executions queue behind
+                # the compile on the tunnel (measured: a 100k run stalled
+                # ~200 s behind a concurrent background compile)
+                from .ops.consensus_device import shape_key
+
+                wkey = shape_key(
+                    int(req["spans"].sum()), len(req["spans"]), int(req["n"])
+                )
                 with self._lock:
-                    warming = wkey in self._handles
-                    if not warming:
-                        self._handles[wkey] = True
-                if not warming:
-                    args = {k: req[k] for k in (
-                        "seq", "smp", "starts", "spans", "seq_off",
-                        "smp_off", "revs", "fpsm", "rpsm")}
-                    nn = int(req["n"])
-
-                    def _warm_cons():
-                        try:
-                            device_column_counts(
-                                args["seq"], args["smp"], args["starts"],
-                                args["spans"], args["seq_off"],
-                                args["smp_off"], args["revs"],
-                                args["fpsm"], args["rpsm"], nn,
+                    if wkey not in self._pending_warm_keys:
+                        self._pending_warm_keys.add(wkey)
+                        self._pending_warms.append(
+                            (
+                                wkey,
+                                tuple(
+                                    req[k]
+                                    for k in (
+                                        "seq", "smp", "starts", "spans",
+                                        "seq_off", "smp_off", "revs",
+                                        "fpsm", "rpsm",
+                                    )
+                                )
+                                + (int(req["n"]),),
                             )
-                        except Exception:
-                            pass
-
-                    threading.Thread(target=_warm_cons, daemon=True).start()
+                        )
                 return {"cold": True}
             counts, cov, scores = device_column_counts(
                 req["seq"], req["smp"], req["starts"], req["spans"],
