@@ -370,7 +370,10 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             flags[i] |= FLAG_SKIP
         widx_sel = np.flatnonzero(eligible & ~gated)
         win = widx_sel.tolist()
-        strand = rcwin_a[widx_sel].astype(bool).tolist()
+        strand_l = rcwin_a[widx_sel].astype(bool).tolist()
+        # strand by RECORD index (the merge no longer walks winners in
+        # ordinal lockstep once gap-free records split off)
+        strand = dict(zip(win, strand_l))
         bests = best_a[widx_sel].astype(np.int64)
         aecs = np.where(rcwin_a[widx_sel], np.asarray(ra)[widx_sel],
                         np.asarray(fa)[widx_sel]).astype(np.int64)
@@ -386,31 +389,54 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
                 else {}
             )
             if not win:
-                return wide_res, None, None, None, bhost.TRACE_CAP
+                return wide_res, {}, {}, None, None, None, bhost.TRACE_CAP
             widx = np.asarray(win)
-            strand_a = np.asarray(strand, np.uint8)
+            strand_a = np.asarray(strand_l, np.uint8)
             ivg = np.where(
                 strand_a[:, None, None] == 1, rc_ivg[widx], fw_ivg[widx]
             )
+            bests_a = np.asarray(bests, np.int64)
+            aecs_a = np.asarray(aecs, np.int64)
+            # provably gap-free winners skip the native window refill
+            # entirely (jax_engine.diag_gapfree; the dominant aDNA case)
+            from .jax_engine import diag_gapfree
+
+            t0 = time.time()
+            gf_ok, gf_abc = diag_gapfree(
+                arena, off[widx], lens[widx], bests_a, aecs_a, ivg,
+                fw_align.s1c[: fw_align.len1], rc_align.s1c[: rc_align.len1],
+                strand_a, ancsubmat,
+            )
+            diag = {}
+            for w in np.flatnonzero(gf_ok):
+                i = win[w]
+                diag[i] = (int(bests_a[w]), int(gf_abc[w]), int(aecs_a[w]),
+                           bool(strand_a[w]))
+            fin = np.flatnonzero(~gf_ok)
+            profiling.count("pass1.gapfree_shortcut", len(diag))
+            if len(fin) == 0:
+                profiling.add_time("pass1.native_finish", time.time() - t0)
+                return wide_res, diag, {}, None, None, None, bhost.TRACE_CAP
+            fsel = widx[fin]
             # tight output cap: a finish traceback spans at most the margin
             # window + the read length; overflow falls back per read
             fcap = min(
-                bhost.TRACE_CAP, 2 * int(lens[widx].max(initial=1)) + 768
+                bhost.TRACE_CAP, 2 * int(lens[fsel].max(initial=1)) + 768
             )
-            t0 = time.time()
             meta, ref_arena, frag_arena = bhost.finish(
                 arena,
-                off[widx],
-                lens[widx],
-                strand_a,
-                np.zeros(len(win), np.uint8),
-                np.asarray(bests, np.int32),
-                np.asarray(aecs, np.int32),
-                ivg,
+                off[fsel],
+                lens[fsel],
+                strand_a[fin],
+                np.zeros(len(fin), np.uint8),
+                np.asarray(bests_a[fin], np.int32),
+                np.asarray(aecs_a[fin], np.int32),
+                ivg[fin],
                 cap=fcap,
             )
             profiling.add_time("pass1.native_finish", time.time() - t0)
-            return wide_res, meta, ref_arena, frag_arena, fcap
+            fmap = {int(win[w]): j for j, w in enumerate(fin)}
+            return wide_res, diag, fmap, meta, ref_arena, frag_arena, fcap
 
         return records, flags, strand, finish_pool.submit(work)
 
@@ -419,9 +445,8 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         from .hostbatch import FLAG_HOST_ONLY, FLAG_SKIP, FLAG_WIDE
 
         records, flags, strand, fut = token
-        wide_res, meta, ref_arena, frag_arena, cap = fut.result()
+        wide_res, diag, fmap, meta, ref_arena, frag_arena, cap = fut.result()
         t_merge = time.time()
-        w = 0
         for i, f in enumerate(records):
             fl = flags[i]
             if fl & FLAG_SKIP:
@@ -432,26 +457,33 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             if fl & FLAG_WIDE:
                 _merge_native_solved(f, *wide_res[i])
                 continue
-            n = int(meta[w, 3])
+            if i in diag:
+                # provably gap-free: the traceback IS the diagonal
+                best, abc, aec, rc = diag[i]
+                sref = rc_align.seq1 if rc else fw_align.seq1
+                length = f.trim_point + 1 if f.trimmed else f.seq_len
+                pw = (sref[abc : aec + 1], f.seq[:length])
+                finish_alignment(maln, f, fsdb, rc, best, abc, aec, pw)
+                continue
+            j = fmap[i]
+            n = int(meta[j, 3])
             if n < 0:  # native finish worker failed: per-read host path
                 _host_align_one(f)
-                w += 1
                 continue
             pw = (
-                ref_arena[w * cap : w * cap + n].decode("latin-1"),
-                frag_arena[w * cap : w * cap + n].decode("latin-1"),
+                ref_arena[j * cap : j * cap + n].decode("latin-1"),
+                frag_arena[j * cap : j * cap + n].decode("latin-1"),
             )
             finish_alignment(
                 maln,
                 f,
                 fsdb,
-                bool(strand[w]),
-                int(meta[w, 0]),
-                int(meta[w, 1]),
-                int(meta[w, 2]),
+                strand[i],
+                int(meta[j, 0]),
+                int(meta[j, 1]),
+                int(meta[j, 2]),
                 pw,
             )
-            w += 1
         profiling.add_time("pass1.py_merge", time.time() - t_merge)
 
     def _flush_native() -> None:
@@ -778,7 +810,21 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
         from ..serve import ServerScorer, connect_consensus
 
         if isinstance(scorer, ServerScorer):
-            cons_hook = connect_consensus()
+            _base_hook = connect_consensus()
+            if _base_hook is not None:
+                # below ~2M observations the arena upload over the tunnel
+                # costs more than the host accumulation (measured); the
+                # threshold is env-tunable (0 forces the device)
+                _min_obs = int(
+                    _os.environ.get("MIA_TPU_CONS_DEVICE_MIN", str(1 << 21))
+                )
+
+                def cons_hook(seq, smp, starts, spans, *a, **k):
+                    if int(spans.sum()) < _min_obs:
+                        raise RuntimeError("small consensus: host path")
+                    return _base_hook(seq, smp, starts, spans, *a, **k)
+            else:
+                cons_hook = None
         else:
             # in-process device runtime already live (e.g. MIA_TPU_STEAL=0).
             # Never block a pass on the compile lottery; and a background

@@ -234,6 +234,9 @@ def reiterate_assembly(
     consensus, the read's strand picking the fw/rc PSSM) and only the
     score-verified margin-window traceback stays on the native threads;
     windows wider than the device window fall back to the native solver."""
+    import time as _time0
+
+    _t_setup = _time0.time()
     ref = maln.ref
     ref_len = len(new_ref_seq)
     ref.seq = new_ref_seq
@@ -489,6 +492,10 @@ def reiterate_assembly(
                     )
             except Exception:
                 scorer = None  # no usable device: all-native realign
+        profiling.add_time(
+            "reiterate.setup", __import__("time").time() - _t_setup
+        )
+        _t_cls = __import__("time").time()
         hp_route = None
         if a.hp and scorer is not None:
             from .jax_engine import HPW_ROUTE
@@ -520,8 +527,12 @@ def reiterate_assembly(
                 device.append(job)
             else:
                 narrow.append(job)
+        profiling.add_time(
+            "reiterate.classify", __import__("time").time() - _t_cls
+        )
         # device-sized windows: dispatch ALL chunks asynchronously, then
         # run the native groups (the TPU scores while the host solves)
+        _t_disp = __import__("time").time()
         dev_handles: list = []
         if device:
             from .jax_engine import MAX_INTERVALS, pack_s2c
@@ -554,6 +565,9 @@ def reiterate_assembly(
                 dev_handles.append(
                     (chunk, handle, arena, off, lens, ws, los, his, smidx)
                 )
+        profiling.add_time(
+            "reiterate.dispatch", __import__("time").time() - _t_disp
+        )
         _t_ns = _time2 = __import__("time").time()
         CHUNK = 8192
         # bound per-chunk output-arena allocation (2 arenas of n*cap
@@ -591,6 +605,14 @@ def reiterate_assembly(
         # The finish FFI call releases the GIL, so it runs on a worker
         # thread while the main thread waits on the NEXT chunk's server
         # collect — the same overlap pass 1 uses.
+        sms2 = np.stack(
+            [np.asarray(ancsubmat, np.int64), np.asarray(rcancsubmat, np.int64)]
+        )
+        from ..utils import encoding as _encoding
+
+        ref_str = ref.seq[: ref.wrap_seq_len]
+        enc_codes = _encoding.encode_seq(ref_str)
+
         def _finish_chunk(args):
             chunk, arena, off, lens, ws, los, his, smidx, best, aecl = args
             aec = (aecl + ws).astype(np.int32)
@@ -598,28 +620,54 @@ def reiterate_assembly(
             ivg = np.zeros((m, 1, 2), np.int32)
             ivg[:, 0, 0] = los
             ivg[:, 0, 1] = his
+            # provably gap-free realignments skip the native window refill
+            # (jax_engine.diag_gapfree; PSSM selected per read by smidx)
+            from .jax_engine import diag_gapfree
+
+            gf_ok, gf_abc = diag_gapfree(
+                arena, off[:-1], lens, best.astype(np.int64),
+                aec.astype(np.int64), ivg.astype(np.int64),
+                enc_codes, enc_codes, np.zeros(m, np.int8), sms2,
+                sm_sel=smidx,
+            )
+            diag = {}
+            for j in np.flatnonzero(gf_ok):
+                fs = chunk[j][0]
+                a0, a1 = int(gf_abc[j]), int(aec[j])
+                diag[id(fs)] = (
+                    int(best[j]), a0, a1,
+                    ref_str[a0 : a1 + 1], fs.seq,
+                )
+            profiling.count("reiterate.gapfree_shortcut", len(diag))
+            fin = np.flatnonzero(~gf_ok)
+            if len(fin) == 0:
+                return chunk, diag, None, None, None, None, 0
             fcap = min(
                 bh.TRACE_CAP,
                 int((his - los).max(initial=1)) + int(lens.max(initial=1)) + 64,
             )
             meta, ref_a, frag_a = bh.finish(
                 arena,
-                off[:-1],
-                lens,
-                np.zeros(m, np.uint8),
-                smidx.astype(np.uint8),
-                best.astype(np.int32),
-                aec,
-                ivg,
+                off[:-1][fin],
+                lens[fin],
+                np.zeros(len(fin), np.uint8),
+                smidx[fin].astype(np.uint8),
+                best[fin].astype(np.int32),
+                aec[fin],
+                ivg[fin],
                 cap=fcap,
             )
-            return chunk, meta, ref_a, frag_a, fcap
+            return chunk, diag, fin, meta, ref_a, frag_a, fcap
 
         from concurrent.futures import ThreadPoolExecutor
 
         def _store(fut) -> None:
-            chunk, meta, ref_a, frag_a, cap = fut.result()
-            for j, (fs, _, _) in enumerate(chunk):
+            chunk, diag, fin, meta, ref_a, frag_a, cap = fut.result()
+            native_results.update(diag)
+            if fin is None:
+                return
+            for j, w in enumerate(fin):
+                fs = chunk[w][0]
                 n = int(meta[j, 3])
                 if n < 0:
                     continue  # native finish failed: per-read path below
@@ -663,10 +711,10 @@ def reiterate_assembly(
             res = native_results.get(id(fs))
             if res is not None:
                 best, abc, aec, rb, fb = res
-                _merge_front(
-                    fs, best, abc, aec,
-                    (rb.decode("latin-1"), fb.decode("latin-1")),
-                )
+                if isinstance(rb, bytes):  # native-finish arenas
+                    rb = rb.decode("latin-1")
+                    fb = fb.decode("latin-1")
+                _merge_front(fs, best, abc, aec, (rb, fb))
             else:
                 _python_realign(fs)
     profiling.add_time("reiterate.merge", _time.time() - _t_merge)

@@ -190,6 +190,78 @@ def pack_s2c(arena: bytes, off: np.ndarray, lens: np.ndarray, L: int = L_MAX) ->
     return np.where(valid, BASE2INX[buf[idx]], 4).astype(np.int8)
 
 
+def diag_gapfree(
+    arena: bytes,
+    off: np.ndarray,      # [n] read arena offsets (winners)
+    lens: np.ndarray,     # [n] read lengths
+    bests: np.ndarray,    # [n] device best scores
+    aecs: np.ndarray,     # [n] GLOBAL end columns
+    ivg: np.ndarray,      # [n, K, 2] GLOBAL band intervals (0,0 = unused)
+    ref_fw: np.ndarray,   # [len1] forward-strand reference codes
+    ref_rc: np.ndarray,   # [len1] rc-strand codes (pass ref_fw again if n/a)
+    sel: np.ndarray,      # [n] strand select (1 = rc row)
+    submat: np.ndarray,   # [31,5,5], or [2,31,5,5] selected per entry by
+                          # ``sm_sel`` (the realign path's fw/rc PSSM choice)
+    sm_sel: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Provably gap-free winners: (mask [n] bool, abc [n] int32).
+
+    If the pure-diagonal substitution sum ending at ``aec`` equals the
+    device best and the whole diagonal lies inside one open band interval,
+    the reference's traceback IS that gap-free diagonal: S along the
+    diagonal can never exceed the prefix sums (or the end value would
+    exceed the total, contradiction via the diag candidate
+    S[r+1][c+1] >= S[r][c]+sub), so every cell's value equals its diagonal
+    prefix, every competing candidate is <= the diagonal predecessor, and
+    the reference's tie-breaking prefers diag over gaps/hp while restart
+    needs STRICT > (src/mia.c:907-965).  Such winners skip the native
+    window refill entirely — the dominant case for short aDNA reads, where
+    indels are rare."""
+    n = len(off)
+    if n == 0:
+        return np.zeros(0, bool), np.zeros(0, np.int32)
+    L = int(lens.max())
+    abcs = (aecs - lens + 1).astype(np.int64)
+    # one interval must cover the whole diagonal's columns
+    used = ivg[:, :, 1] > 0
+    cover = (
+        used
+        & (ivg[:, :, 0] <= abcs[:, None])
+        & (aecs[:, None] < ivg[:, :, 1])
+    ).any(axis=1) & (abcs >= 0)
+
+    buf = np.frombuffer(arena, np.uint8)
+    rows = np.arange(L, dtype=np.int64)[None, :]
+    valid = rows < lens[:, None]
+    ridx = np.minimum(off[:, None] + rows, max(len(buf) - 1, 0))
+    from ..utils.encoding import BASE2INX
+
+    s2 = np.where(valid, BASE2INX[buf[ridx]], 4).astype(np.int64)
+    cidx = np.clip(abcs[:, None] + rows, 0, len(ref_fw) - 1)
+    s1 = np.where(
+        np.asarray(sel)[:, None] == 1,
+        np.asarray(ref_rc, np.int64)[cidx],
+        np.asarray(ref_fw, np.int64)[cidx],
+    )
+    # find_sm_depth per (read, row) — pure numpy (no jax import here: this
+    # runs in server-mode client processes)
+    from_back = lens[:, None] - (rows + 1)
+    d = np.where(
+        rows < PSSM_DEPTH,
+        rows,
+        np.where(from_back < PSSM_DEPTH, 2 * PSSM_DEPTH - from_back, PSSM_DEPTH),
+    )
+    d = np.clip(d, 0, 2 * PSSM_DEPTH)
+    sm = np.asarray(submat)
+    if sm.ndim == 4:
+        subs = np.where(valid, sm[np.asarray(sm_sel)[:, None], d, s1, s2], 0)
+    else:
+        subs = np.where(valid, sm[d, s1, s2], 0)
+    diag_sum = subs.sum(axis=1)
+    ok = cover & (diag_sum == bests)
+    return ok, abcs.astype(np.int32)
+
+
 def pack_chars(arena: bytes, off: np.ndarray, lens: np.ndarray, L: int = L_MAX) -> np.ndarray:
     """[n, L] uint8 raw read chars from a packed read arena (pad 0) — the
     hp device program's input form."""
