@@ -179,15 +179,67 @@ def parse_reads_native(
     return out
 
 
-def iter_frag_seqs_fast(path: str) -> Iterator[FragSeq]:
-    """Native-parser read stream with exact-Python fallback."""
-    reads = parse_reads_native(path)
-    if reads is None:
+def iter_frag_seqs_fast(path: str, chunk: int = 16384) -> Iterator[FragSeq]:
+    """Native-parser read stream with exact-Python fallback.
+
+    The C++ parse runs once (arenas stay in the native handle); python
+    FragSeq objects materialise per ``chunk`` so the first scoring batch
+    dispatches before the whole file has been objectified, and the peak
+    object count stays bounded for consumers that drop records as they
+    stream."""
+    lib = _load()
+    if lib is None:
         from .fasta import iter_frag_seqs
 
         yield from iter_frag_seqs(path)
-    else:
-        yield from reads
+        return
+    h = lib.mia_parse_reads(path.encode(), -1)
+    if not h:
+        raise OSError(f"cannot open {path}")
+    try:
+        total = int(lib.mia_reads_count(h))
+        if total == 0:
+            return
+        seq_lens = np.ctypeslib.as_array(
+            lib.mia_reads_seq_lens(h), (total,)
+        ).copy()
+        qual_sums = np.ctypeslib.as_array(
+            lib.mia_reads_qual_sums(h), (total,)
+        ).copy()
+        arenas = {}
+        for name in ("ids", "descs", "seqs", "quals"):
+            n = ctypes.c_int64()
+            pptr = getattr(lib, f"mia_reads_{name}")(h, ctypes.byref(n))
+            raw = (
+                np.frombuffer(ctypes.string_at(pptr, n.value), np.uint8)
+                if n.value
+                else np.zeros(0, np.uint8)
+            )
+            arenas[name] = (raw, np.flatnonzero(raw == 0))
+    finally:
+        lib.mia_reads_free(h)
+
+    def _sl(name: str, start: int, end: int) -> list[str]:
+        raw, seps = arenas[name]
+        lo = 0 if start == 0 else int(seps[start - 1]) + 1
+        hi = int(seps[end - 1])
+        return raw[lo:hi].tobytes().decode("latin-1").split("\0")
+
+    for start in range(0, total, chunk):
+        end = min(start + chunk, total)
+        ids = _sl("ids", start, end)
+        descs = _sl("descs", start, end)
+        seqs = _sl("seqs", start, end)
+        quals = _sl("quals", start, end)
+        for i in range(end - start):
+            fs = FragSeq()
+            fs.id = ids[i]
+            fs.desc = descs[i]
+            fs.seq = seqs[i]
+            fs.qual = quals[i]
+            fs.seq_len = int(seq_lens[start + i])
+            fs.qual_sum = int(qual_sums[start + i])
+            yield fs
 
 
 def iter_frag_seqs_range(path: str, start: int, count: int) -> Iterator[FragSeq]:
