@@ -247,18 +247,73 @@ class Server:
                     pass
 
     def _maybe_warm_pending(self) -> None:
-        """Compile one queued consensus shape, only when the server has been
-        idle >10 s (one at a time, on a worker thread so accept keeps
-        running)."""
+        """Advance the two-stage warm of one queued consensus shape.
+
+        Stage 1 pays the remote compile lottery in a SUBPROCESS (its own
+        backend channel) so this server's device executions never queue
+        behind the compile; the result lands in the persistent cache.
+        Stage 2, at the next idle tick after the subprocess exits, runs the
+        shape in-process — a cache hit, seconds — which marks it warm for
+        real calls."""
+        import subprocess
+        import sys
+        import tempfile
+
         with self._lock:
-            if (
+            proc = getattr(self, "_warm_proc", None)
+            if proc is not None:
+                # stage 1 still compiling, or not idle enough for stage 2
+                if proc.poll() is None or _now() - self._last_activity <= 10.0:
+                    return
+                self._warm_proc = None
+                try:
+                    os.unlink(self._warm_file)
+                except OSError:
+                    pass
+                wkey, args = self._warm_current
+                stage2 = True
+            elif (
                 self._warming
                 or not self._pending_warms
                 or _now() - self._last_activity <= 10.0
             ):
                 return
-            self._warming = True
-            wkey, args = self._pending_warms.pop(0)
+            else:
+                self._warming = True
+                wkey, args = self._pending_warms.pop(0)
+                stage2 = False
+
+        if not stage2:
+            try:
+                f = tempfile.NamedTemporaryFile(
+                    suffix=".npz", prefix="mia-warm-", delete=False
+                )
+                names = ("seq", "smp", "starts", "spans", "seq_off",
+                         "smp_off", "revs", "fpsm", "rpsm")
+                np.savez(f, n=args[-1], **dict(zip(names, args[:-1])))
+                f.close()
+                code = (
+                    "import numpy as np, sys;"
+                    "d = np.load(sys.argv[1]);"
+                    "from mia_tpu.ops.consensus_device import device_column_counts;"
+                    "device_column_counts(*[d[k] for k in ('seq','smp','starts',"
+                    "'spans','seq_off','smp_off','revs','fpsm','rpsm')],"
+                    "int(d['n']))"
+                )
+                with self._lock:
+                    self._warm_proc = subprocess.Popen(
+                        [sys.executable, "-c", code, f.name],
+                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                    )
+                    self._warm_current = (wkey, args)
+                    self._warm_file = f.name
+                print(
+                    f"mia-tpu-serve: compiling consensus shape {wkey} "
+                    "in a subprocess", flush=True,
+                )
+            except Exception:
+                self._warming = False
+            return
 
         def _do():
             try:
