@@ -97,14 +97,6 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def _blob(lib, h, name: str) -> list[str]:
-    n = ctypes.c_int64()
-    p = getattr(lib, f"mia_reads_{name}")(h, ctypes.byref(n))
-    raw = ctypes.string_at(p, n.value)
-    # arena is '\0'-separated with a trailing separator
-    return raw.decode("latin-1").split("\0")[:-1] if n.value else []
-
-
 def _blob_slice(lib, h, name: str, start: int, end: int) -> list[str]:
     """Records [start, end) of a '\\0'-separated arena, decoding ONLY that
     slice (multi-host shards must not materialise the whole file as python
