@@ -29,6 +29,9 @@ class SimConfig:
     min_len: int = 20
     max_len: int = 150
     err_rate: float = 0.002
+    # sequencing indels per base (insertions and deletions each at half
+    # this rate); 0 reproduces the historical gap-free-only workloads
+    indel_rate: float = 0.0
     circular: bool = True
     seed: int = 0
 
@@ -67,6 +70,20 @@ def simulate_reads(ref: str, cfg: SimConfig, damage: DamageModel | None = None):
         if err.any():
             frag = frag.copy()
             frag[err] = (frag[err] + rng.integers(1, 4, err.sum())) % 4
+        if cfg.indel_rate > 0:
+            # per-base indels: delete the base, or insert a random base
+            # before it (read length drifts accordingly)
+            r = rng.random(len(frag))
+            out = []
+            for j, c in enumerate(frag):
+                if r[j] < cfg.indel_rate / 2:
+                    continue  # deletion
+                if r[j] < cfg.indel_rate:
+                    out.append(int(rng.integers(0, 4)))  # insertion
+                out.append(int(c))
+            if len(out) >= 2:
+                frag = np.array(out, dtype=frag.dtype)
+        L = len(frag)
         seq = _BASES[frag].tobytes().decode()
         qual = "".join(
             chr(33 + q) for q in np.clip(rng.normal(35, 4, L).astype(int), 2, 40)

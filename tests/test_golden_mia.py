@@ -121,3 +121,60 @@ def test_hp_device_program_engaged(tmp_path):
     prof = json.loads(line.split("MIA_PROFILE ", 1)[1])
     assert prof["counters"].get("pass1.device_scored_reads", 0) > 0, prof
     assert prof["counters"].get("pass1.batches_stolen_native", 0) == 0, prof
+
+
+def test_gapped_alignments_byte_identical_across_engines(tmp_path):
+    """Reads with REAL indels: the gap-free shortcut must decline and the
+    exact native finish must produce byte-identical malns on the device
+    engine (the simulator's default workloads are indel-free, so this
+    guards the gapped path explicitly)."""
+    import json
+
+    from mia_tpu.models.simulate import SimConfig, random_reference, simulate_reads
+
+    ref = random_reference(2000, seed=3)
+    ref_fn = tmp_path / "ref.fna"
+    ref_fn.write_text(">r\n" + ref + "\n")
+    frag_fn = tmp_path / "reads.fastq"
+    with open(frag_fn, "w") as f:
+        for name, seq, qual in simulate_reads(
+            ref, SimConfig(num_reads=400, mean_len=70, indel_rate=0.02, seed=9)
+        ):
+            f.write(f"@{name}\n{seq}\n+\n{qual}\n")
+
+    outs = {}
+    prof = None
+    for engine in ("native", "jax"):
+        d = tmp_path / engine
+        d.mkdir()
+        env = dict(os.environ)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env["JAX_PLATFORMS"] = "cpu"
+        env["MIA_JAX_PLATFORM"] = "cpu"
+        env["MIA_TPU_STEAL"] = "0"
+        env["MIA_SCORE_BATCH"] = "64"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "mia_tpu.cli.mia", "-r", str(ref_fn),
+                "-f", str(frag_fn), "-c", "-k", "12", "--engine", engine,
+                "--profile", "-m", str(d / "out.maln"),
+            ],
+            env=env, capture_output=True, timeout=900, check=True,
+        )
+        outs[engine] = sorted(
+            (fn, _norm(d / fn)) for fn in os.listdir(d)
+        )
+        if engine == "jax":
+            line = [
+                ln for ln in r.stderr.decode().splitlines()
+                if ln.startswith("MIA_PROFILE")
+            ][-1]
+            prof = json.loads(line.split("MIA_PROFILE ", 1)[1])["counters"]
+    assert outs["native"] == outs["jax"]
+    scored = prof.get("pass1.device_scored_reads", 0)
+    shortcut = prof.get("pass1.gapfree_shortcut", 0)
+    assert scored > 0, prof
+    assert 0 < shortcut < scored, (
+        f"want a MIX of gap-free and gapped winners, got {shortcut}/{scored}"
+    )
