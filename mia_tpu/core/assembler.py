@@ -561,18 +561,14 @@ def run_assembly(cfg: MiaConfig) -> MapAlignment:
             )
         if getattr(scorer, "hp", False):
             from .hostbatch import FLAG_HOST_ONLY
-            from .jax_engine import HPW_ROUTE, pack_chars
+            from .jax_engine import hp_routes_to_host, pack_chars
 
             # hp device program keeps an HPW-deep ring of previous score
             # rows: reads containing a homopolymer run of >= HPW bases
             # (vanishingly rare) stay on the exact host path
             for i, r in enumerate(reads):
-                if lens[i] >= HPW_ROUTE:
-                    b = np.frombuffer(r.encode("latin-1"), np.uint8)
-                    brk = np.flatnonzero(np.diff(b) != 0)
-                    runs = np.diff(np.concatenate(([-1], brk, [len(b) - 1])))
-                    if runs.max() >= HPW_ROUTE:
-                        flags[i] |= FLAG_HOST_ONLY
+                if hp_routes_to_host(r):
+                    flags[i] |= FLAG_HOST_ONLY
             s2c = pack_chars(arena, off[:-1], lens)
         with profiling.phase("pass1.dispatch"):
             handle = scorer.dispatch_packed(

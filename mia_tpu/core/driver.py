@@ -498,17 +498,10 @@ def reiterate_assembly(
         _t_cls = __import__("time").time()
         hp_route = None
         if a.hp and scorer is not None:
-            from .jax_engine import HPW_ROUTE
+            from .jax_engine import hp_routes_to_host
 
             def hp_route(fs):
-                """True when the read's longest homopolymer run exceeds the
-                device ring: exact host path instead."""
-                if len(fs.seq) < HPW_ROUTE:
-                    return False
-                b = np.frombuffer(fs.seq.encode("latin-1"), np.uint8)
-                brk = np.flatnonzero(np.diff(b) != 0)
-                runs = np.diff(np.concatenate(([-1], brk, [len(b) - 1])))
-                return int(runs.max()) >= HPW_ROUTE
+                return hp_routes_to_host(fs.seq)
 
         for fs in fsdb.fss:
             if not fs.strand_known:

@@ -56,6 +56,19 @@ from ..utils.encoding import encode_seq
 # match ops.dp_jax.HPW without importing jax at module load)
 HPW_ROUTE = 32
 
+
+def hp_routes_to_host(seq: str) -> bool:
+    """True when the read's longest homopolymer run is >= HPW_ROUTE: the hp
+    device ring cannot reach its run-start row, so the read stays on the
+    exact host path (shared by pass 1 and the realigner)."""
+    if len(seq) < HPW_ROUTE:
+        return False
+    b = np.frombuffer(seq.encode("latin-1"), np.uint8)
+    brk = np.flatnonzero(np.diff(b) != 0)
+    runs = np.diff(np.concatenate(([-1], brk, [len(b) - 1])))
+    return int(runs.max()) >= HPW_ROUTE
+
+
 SCORE_BATCH = 8192           # reads per pass-1 batch (2 entries each)
 
 

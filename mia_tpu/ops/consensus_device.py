@@ -220,7 +220,6 @@ def device_column_counts(
     # static-shape key: per-SHARD stream/record capacities (the shard_map
     # split hands each device one contiguous group)
     fn = _accum_fn(TCs, RCg, int(n), mesh)
-    _WARM.add((TCs, RCg, int(n), ndev))
     counts, cov, scores = fn(
         seq_p,
         smp_p,
@@ -232,8 +231,13 @@ def device_column_counts(
         np.asarray(fpsm, np.int32),
         np.asarray(rpsm, np.int32),
     )
-    return (
+    out = (
         np.asarray(counts).astype(np.int64),
         np.asarray(cov).astype(np.int64),
         np.asarray(scores).astype(np.int64),
     )
+    # warm means "one real call COMPLETED" — marked only after the device
+    # results materialise, so nowait callers never block behind an
+    # in-flight (or failed) first compile
+    _WARM.add((TCs, RCg, int(n), ndev))
+    return out

@@ -134,7 +134,10 @@ def prewarm_recorded_shapes() -> int:
                     dummy, dummy, len1, sm, batch=int(e["batch"]), warm=True,
                     defer=False, hp_seqs=hp_seqs,
                 )
-                while not sc._warmed and not sc.failed():
+                deadline = _now() + 600.0
+                while (
+                    not sc._warmed and not sc.failed() and _now() < deadline
+                ):
                     _sleep(0.2)
                 warmed += 1
             elif e.get("kind") == "consensus":
@@ -202,6 +205,7 @@ class Server:
         finally:
             os.umask(old_umask)
         os.chmod(self.path, 0o600)
+        self._sock_ino = os.stat(self.path).st_ino
         srv.listen(16)
         srv.settimeout(5.0)
         try:
@@ -239,12 +243,18 @@ class Server:
                 t.start()
         finally:
             # leave no stale socket behind: a dead socket would make every
-            # future connect_scorer fail AND suppress respawn forever
-            for p in (self.path, self.path + ".spawn"):
-                try:
-                    os.unlink(p)
-                except OSError:
-                    pass
+            # future connect_scorer fail AND suppress respawn forever.
+            # Only unlink OUR socket — a racing newer server may have
+            # re-bound the path (compare inodes before removing).
+            try:
+                if os.stat(self.path).st_ino == self._sock_ino:
+                    os.unlink(self.path)
+                    try:
+                        os.unlink(self.path + ".spawn")
+                    except OSError:
+                        pass
+            except OSError:
+                pass
 
     def _maybe_warm_pending(self) -> None:
         """Advance the two-stage warm of one queued consensus shape.
@@ -294,6 +304,8 @@ class Server:
                 f.close()
                 code = (
                     "import numpy as np, sys;"
+                    "from mia_tpu.utils.jaxcfg import setup_jax_cache;"
+                    "setup_jax_cache();"
                     "d = np.load(sys.argv[1]);"
                     "from mia_tpu.ops.consensus_device import device_column_counts;"
                     "device_column_counts(*[d[k] for k in ('seq','smp','starts',"
@@ -312,7 +324,9 @@ class Server:
                     "in a subprocess", flush=True,
                 )
             except Exception:
-                self._warming = False
+                with self._lock:
+                    self._pending_warm_keys.discard(wkey)
+                    self._warming = False
             return
 
         def _do():
